@@ -1,0 +1,289 @@
+"""Static-capacity Gaussian surfel map with optimizer-surgery semantics.
+
+TPU-native replacement for the reference's torch param-store + Adam-state
+surgery (scene/Gaussians.py). JAX wants static shapes, so the map is a
+preallocated structure-of-arrays of capacity ``C`` with an active count;
+grow/prune/transform are pure functions that reproduce the reference's
+optimizer-state semantics exactly:
+
+  * grow (cat_tensors_to_optimizer, Gaussians.py:162-184): new rows get
+    zeroed Adam moments, the per-tensor step count is preserved.
+  * prune (prune_optimizer, Gaussians.py:143-160): surviving rows keep
+    their moments and are compacted in stable order.
+  * replace (replace_tensor_to_optimizer, Gaussians.py:418-431): the
+    replaced tensor's moments are zeroed — used by rigid submap
+    transforms (transform_gaussians, :404-416) and opacity capping
+    (reset_opacity, :399-402).
+
+Adam matches torch.optim.Adam (lr per group, betas=(0.9, 0.999),
+eps=1e-15 inside the denominator, bias correction with a per-tensor step
+count; Gaussians.py:136).
+
+Capacity is bucketed (powers-of-two style) by the host-side wrapper so
+jitted step functions re-compile only on bucket changes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+PARAM_FIELDS = ("xyz", "log_scales", "quats", "opacity_logit", "rgb")
+PARAM_DIMS = {"xyz": 3, "log_scales": 2, "quats": 4, "opacity_logit": 1, "rgb": 3}
+# per-group learning-rate names as in the reference training_args
+LR_KEYS = {
+    "xyz": "xyz_lr", "log_scales": "scaling_lr", "quats": "rotation_lr",
+    "opacity_logit": "opacity_lr", "rgb": "rgb_lr",
+}
+
+
+class Params(NamedTuple):
+    xyz: jnp.ndarray            # [C, 3]
+    log_scales: jnp.ndarray     # [C, 2]
+    quats: jnp.ndarray          # [C, 4] (w, x, y, z)
+    opacity_logit: jnp.ndarray  # [C, 1]
+    rgb: jnp.ndarray            # [C, 3]
+
+
+class GaussianMap(NamedTuple):
+    params: Params
+    m: Params                   # Adam first moments
+    v: Params                   # Adam second moments
+    step: jnp.ndarray           # scalar int32 (per-tensor step is shared:
+                                # all groups step together in the reference)
+    active: jnp.ndarray         # [C] bool
+    n_active: jnp.ndarray       # scalar int32
+
+    @property
+    def capacity(self) -> int:
+        return self.params.xyz.shape[0]
+
+    # ---- activations (Gaussians.py:17-25) ----
+    @property
+    def scales(self):
+        return jnp.exp(self.params.log_scales)
+
+    @property
+    def opacity(self):
+        return jax.nn.sigmoid(self.params.opacity_logit)
+
+
+def _zeros_params(capacity: int) -> Params:
+    return Params(**{
+        f: jnp.zeros((capacity, PARAM_DIMS[f]), jnp.float32)
+        for f in PARAM_FIELDS
+    })
+
+
+def empty_map(capacity: int) -> GaussianMap:
+    p = _zeros_params(capacity)
+    # identity quats on inactive rows keep preprocess numerics benign
+    p = p._replace(quats=p.quats.at[:, 0].set(1.0))
+    return GaussianMap(
+        params=p, m=_zeros_params(capacity), v=_zeros_params(capacity),
+        step=jnp.int32(0),
+        active=jnp.zeros((capacity,), bool), n_active=jnp.int32(0),
+    )
+
+
+def bucket_capacity(n: int, quantum: int = 1 << 16) -> int:
+    """Round capacity up so recompiles happen on bucket changes only."""
+    n = max(n, quantum)
+    b = quantum
+    while b < n:
+        b *= 2 if b < (1 << 20) else 1.5
+        b = int(-(-b // quantum) * quantum)
+    return b
+
+
+def create_from_points_masked(
+    capacity: int,
+    points: jnp.ndarray,    # [N, 3] world
+    colors: jnp.ndarray,    # [N, 3]
+    normals: jnp.ndarray | None,  # [N, 3] or None
+    init_scale: jnp.ndarray,      # [N]
+    valid: jnp.ndarray | None = None,
+    isotropic: bool = False,
+) -> GaussianMap:
+    """Gaussians.create_from_pcd (Gaussians.py:64-121): log-scale from the
+    depth-derived initial scale, surfel orientation from normals, opacity
+    logit 0 (i.e. opacity 0.5)."""
+    gm = empty_map(capacity)
+    return add_gaussians(gm, points, colors, normals, init_scale,
+                         valid=valid, isotropic=isotropic)
+
+
+def _orientation_quats(normals: jnp.ndarray | None, n: int) -> jnp.ndarray:
+    from ..ops.geometry import surfel_quat_from_normal
+
+    if normals is None:
+        q = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
+        return q
+    return surfel_quat_from_normal(normals)
+
+
+def add_gaussians(
+    gm: GaussianMap,
+    points: jnp.ndarray,
+    colors: jnp.ndarray,
+    normals: jnp.ndarray | None,
+    init_scale: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    isotropic: bool = False,
+) -> GaussianMap:
+    """Append candidate gaussians where ``valid`` with zeroed moments
+    (cat_tensors_to_optimizer semantics). Candidates are a fixed-size
+    buffer (e.g. all image pixels during densification); valid ones are
+    compacted onto rows [n_active, n_active + sum(valid)) via a cumsum
+    scatter — no host round-trip, no dynamic shapes."""
+    n = points.shape[0]
+    C = gm.capacity
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+
+    ls = jnp.log(jnp.maximum(init_scale, 1e-12))[:, None]
+    ls = jnp.broadcast_to(ls, (n, 2))
+    new = Params(
+        xyz=points.astype(jnp.float32),
+        log_scales=ls.astype(jnp.float32),
+        quats=_orientation_quats(normals, n),
+        opacity_logit=jnp.zeros((n, 1), jnp.float32),
+        rgb=colors.astype(jnp.float32),
+    )
+
+    vi = valid.astype(jnp.int32)
+    rank = jnp.cumsum(vi) - vi                       # exclusive
+    n_new = jnp.sum(vi)
+    dest = jnp.where(valid, gm.n_active + rank, C)   # C = dropped (OOB)
+
+    def scat(dst, src):
+        return dst.at[dest].set(src, mode="drop")
+
+    params = Params(*(scat(d, s) for d, s in zip(gm.params, new)))
+    m = Params(*(scat(d, jnp.zeros_like(s)) for d, s in zip(gm.m, new)))
+    v = Params(*(scat(d, jnp.zeros_like(s)) for d, s in zip(gm.v, new)))
+    active = gm.active.at[dest].set(valid, mode="drop")
+    return gm._replace(
+        params=params, m=m, v=v, active=active,
+        n_active=jnp.minimum(gm.n_active + n_new, C),
+    )
+
+
+def add_params(
+    gm: GaussianMap, new: Params, new_active: jnp.ndarray
+) -> GaussianMap:
+    """Backend merge: append a submap's raw param rows with zero moments
+    (Backend.py:227 -> Gaussians.add_params). ``new_active`` masks the
+    donor's static-capacity rows; valid rows are compacted on scatter."""
+    C = gm.capacity
+    vi = new_active.astype(jnp.int32)
+    rank = jnp.cumsum(vi) - vi
+    n_new = jnp.sum(vi)
+    dest = jnp.where(new_active, gm.n_active + rank, C)
+
+    def scat(dst, src):
+        return dst.at[dest].set(src, mode="drop")
+
+    params = Params(*(scat(d, s) for d, s in zip(gm.params, new)))
+    m = Params(*(scat(d, jnp.zeros_like(s)) for d, s in zip(gm.m, new)))
+    v = Params(*(scat(d, jnp.zeros_like(s)) for d, s in zip(gm.v, new)))
+    active = gm.active.at[dest].set(new_active, mode="drop")
+    return gm._replace(
+        params=params, m=m, v=v, active=active,
+        n_active=jnp.minimum(gm.n_active + n_new, C),
+    )
+
+
+def prune(gm: GaussianMap, prune_mask: jnp.ndarray) -> GaussianMap:
+    """Remove gaussians where prune_mask is True, compacting in stable
+    order with moments preserved (prune_optimizer semantics)."""
+    keep = gm.active & ~prune_mask
+    # stable order: kept rows first, preserving relative order
+    order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+    n_new = jnp.sum(keep).astype(jnp.int32)
+
+    def gather(x):
+        return x[order]
+
+    params = Params(*(gather(p) for p in gm.params))
+    m = Params(*(gather(p) for p in gm.m))
+    v = Params(*(gather(p) for p in gm.v))
+    active = jnp.arange(gm.capacity) < n_new
+    return gm._replace(params=params, m=m, v=v, active=active, n_active=n_new)
+
+
+def transform(gm: GaussianMap, transfer: jnp.ndarray) -> GaussianMap:
+    """Rigid transform of the whole map (transform_gaussians,
+    Gaussians.py:404-416): xyz/quats move, their Adam moments reset."""
+    from ..ops.se3 import quat_multiply, rotmat_to_quat
+
+    R, t = transfer[:3, :3], transfer[:3, 3]
+    q_r = rotmat_to_quat(R)
+    params = gm.params._replace(
+        xyz=gm.params.xyz @ R.T + t,
+        quats=quat_multiply(q_r[None, :], gm.params.quats),
+    )
+    zeros3 = jnp.zeros_like(gm.m.xyz)
+    zeros4 = jnp.zeros_like(gm.m.quats)
+    m = gm.m._replace(xyz=zeros3, quats=zeros4)
+    v = gm.v._replace(xyz=zeros3, quats=zeros4)
+    return gm._replace(params=params, m=m, v=v)
+
+
+def cap_opacity(gm: GaussianMap, max_opacity: float = 0.01) -> GaussianMap:
+    """opacity <- min(opacity, logit(max)) with opacity moments reset
+    (Backend.py:226 + replace_tensor_to_optimizer)."""
+    cap = float(np.log(max_opacity / (1.0 - max_opacity)))
+    params = gm.params._replace(
+        opacity_logit=jnp.minimum(gm.params.opacity_logit, cap)
+    )
+    z = jnp.zeros_like(gm.m.opacity_logit)
+    return gm._replace(
+        params=params,
+        m=gm.m._replace(opacity_logit=z),
+        v=gm.v._replace(opacity_logit=z),
+    )
+
+
+def adam_step(
+    gm: GaussianMap,
+    grads: Params,
+    lrs: dict,
+    betas: tuple = (0.9, 0.999),
+    eps: float = 1e-15,
+) -> GaussianMap:
+    """One torch-semantics Adam step over all param groups, masked to
+    active rows (inactive rows receive zero grads by construction but we
+    mask anyway)."""
+    b1, b2 = betas
+    step = gm.step + 1
+    t = step.astype(jnp.float32)
+    c1 = 1.0 - b1**t
+    c2 = 1.0 - b2**t
+    act = gm.active[:, None]
+
+    new_p, new_m, new_v = [], [], []
+    for name, p, m, v, g in zip(PARAM_FIELDS, gm.params, gm.m, gm.v, grads):
+        g = jnp.where(act, g, 0.0)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        upd = (m / c1) / (jnp.sqrt(v / c2) + eps)
+        p = p - lrs[LR_KEYS[name]] * jnp.where(act, upd, 0.0)
+        new_p.append(p)
+        new_m.append(m)
+        new_v.append(v)
+    return gm._replace(
+        params=Params(*new_p), m=Params(*new_m), v=Params(*new_v), step=step
+    )
+
+
+def extract_params(gm: GaussianMap) -> tuple[Params, jnp.ndarray, jnp.ndarray]:
+    """Detached snapshot for submap handoff (Gaussians.extract_params)."""
+    return (
+        jax.tree.map(lax.stop_gradient, gm.params),
+        gm.active,
+        gm.n_active,
+    )

@@ -47,11 +47,30 @@ def make_grid(cam: Camera, block_h: int = 16, block_w: int = 16) -> TileGrid:
 
 class Binning(NamedTuple):
     pair_gauss: jnp.ndarray  # [r_max] int32 gaussian index per sorted pair
+    pair_slab: jnp.ndarray   # [r_max] int32 flat slab slot (d * N + g)
     pair_ok: jnp.ndarray     # [r_max] bool: pair is real (not budget padding)
     tile_start: jnp.ndarray  # [num_tiles] int32 into the sorted pair array
     tile_stop: jnp.ndarray   # [num_tiles] int32
+    num_tiles_touched: int   # static: d_max used for the slab expansion
     num_pairs: jnp.ndarray   # scalar int32
     overflow: jnp.ndarray    # scalar bool: pair budget exceeded (tail dropped)
+
+    def slab_scatter_grads(self, pair_grads: jnp.ndarray, n: int) -> jnp.ndarray:
+        """Reduce per-pair gradients [R, C] -> per-gaussian [N, C].
+
+        The sort permutation is a bijection pair -> slab slot, so the
+        reduction is a (scatter-free) permutation apply + a dense sum
+        over the duplicate-slab axis: grads[d*N+g] accumulate into g.
+        """
+        d_max = self.num_tiles_touched
+        c = pair_grads.shape[1]
+        slab = jnp.zeros((d_max * n, c), pair_grads.dtype)
+        ok = self.pair_ok[:, None]
+        slab = slab.at[self.pair_slab].set(
+            jnp.where(ok, pair_grads, 0.0), mode="drop",
+            unique_indices=True,
+        )
+        return slab.reshape(d_max, n, c).sum(axis=0)
 
 
 def gaussian_rects(pre: PreprocResult, grid: TileGrid):
@@ -130,19 +149,18 @@ def bin_gaussians(
 
     key = lax.shift_left(tile, depth_bits) | dq[None, :]
     key = jnp.where(live, key, jnp.int32(0x7FFFFFFF)).reshape(-1)
-    seg = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[None, :], (d_max, n)
-    ).reshape(-1)
+    flat = jnp.arange(d_max * n, dtype=jnp.int32)  # slab slot d * n + g
 
-    key_sorted, pair_gauss = lax.sort((key, seg), num_keys=1)
+    key_sorted, pair_slab = lax.sort((key, flat), num_keys=1)
     if key_sorted.shape[0] >= r_max:
-        key_sorted, pair_gauss = key_sorted[:r_max], pair_gauss[:r_max]
+        key_sorted, pair_slab = key_sorted[:r_max], pair_slab[:r_max]
     else:
         pad = r_max - key_sorted.shape[0]
         key_sorted = jnp.pad(
             key_sorted, (0, pad), constant_values=jnp.int32(0x7FFFFFFF)
         )
-        pair_gauss = jnp.pad(pair_gauss, (0, pad))
+        pair_slab = jnp.pad(pair_slab, (0, pad))
+    pair_gauss = pair_slab % n
     pair_ok = key_sorted != jnp.int32(0x7FFFFFFF)
     total = jnp.sum(counts)
 
@@ -155,9 +173,11 @@ def bin_gaussians(
     )
     return Binning(
         pair_gauss=pair_gauss,
+        pair_slab=pair_slab,
         pair_ok=pair_ok,
         tile_start=bounds[:-1],
         tile_stop=bounds[1:],
+        num_tiles_touched=d_max,
         num_pairs=jnp.minimum(total, r_max).astype(jnp.int32),
         overflow=overflow,
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,22 +36,28 @@ ALPHA_MAX = 0.99
 T_EPS = 1e-4  # transmittance early-termination threshold
 
 
-class Camera(NamedTuple):
-    """Static camera description. All fields are python scalars except w2c.
-
-    `w2c` may be a traced array (pose gradients flow through it in
-    tracking mode).
+class Camera:
+    """Camera description. Registered as a pytree whose ONLY leaf is
+    ``w2c`` (which may be traced — pose gradients flow through it);
+    every intrinsic is static python data, so jitted functions can use
+    height/width for shapes and the object can cross jit boundaries as a
+    plain argument.
     """
 
-    height: int
-    width: int
-    fx: float
-    fy: float
-    cx: float
-    cy: float
-    w2c: jnp.ndarray  # [4, 4]
-    near: float = 0.01
-    far: float = 100.0
+    __slots__ = ("height", "width", "fx", "fy", "cx", "cy", "w2c",
+                 "near", "far")
+
+    def __init__(self, height, width, fx, fy, cx, cy, w2c,
+                 near=0.01, far=100.0):
+        self.height = int(height)
+        self.width = int(width)
+        self.fx = float(fx)
+        self.fy = float(fy)
+        self.cx = float(cx)
+        self.cy = float(cy)
+        self.w2c = w2c
+        self.near = float(near)
+        self.far = float(far)
 
     @property
     def intrinsics(self) -> np.ndarray:
@@ -58,8 +65,25 @@ class Camera(NamedTuple):
         k[0, 0], k[1, 1], k[0, 2], k[1, 2] = self.fx, self.fy, self.cx, self.cy
         return k
 
+    def _aux(self):
+        return (self.height, self.width, self.fx, self.fy, self.cx,
+                self.cy, self.near, self.far)
+
     def replace_w2c(self, w2c) -> "Camera":
-        return self._replace(w2c=w2c)
+        h, w, fx, fy, cx, cy, near, far = self._aux()
+        return Camera(h, w, fx, fy, cx, cy, w2c, near, far)
+
+
+def _cam_flatten(c: Camera):
+    return (c.w2c,), c._aux()
+
+
+def _cam_unflatten(aux, leaves):
+    h, w, fx, fy, cx, cy, near, far = aux
+    return Camera(h, w, fx, fy, cx, cy, leaves[0], near, far)
+
+
+jax.tree_util.register_pytree_node(Camera, _cam_flatten, _cam_unflatten)
 
 
 def camera_from_intrinsics(h, w, k, w2c, near=0.01, far=100.0) -> Camera:

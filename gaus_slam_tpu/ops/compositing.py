@@ -276,10 +276,17 @@ def composite_chunk(
 
 
 def finalize(state: PixelState, bg: jnp.ndarray, *, use_sa: bool) -> jnp.ndarray:
-    """Pixel state -> [OUT_C, P] output block (forward.cu:441-465)."""
+    """Pixel state -> [OUT_C, P] output block (forward.cu:441-465).
+
+    The median is detached inside the sa distortion output: the reference
+    backward routes dL_dreg only through the compositing weights and the
+    fused depths (backward.cu:367-378), never into the median depth — the
+    middepth output itself keeps the live median (backward.cu:358).
+    """
     T = state.T
     mm = state.mm
-    geo_std = state.D2 - 2.0 * mm * state.D + mm * mm * (1.0 - T)
+    mm_sg = lax.stop_gradient(mm)
+    geo_std = state.D2 - 2.0 * mm_sg * state.D + mm_sg * mm_sg * (1.0 - T)
     dist = geo_std if use_sa else state.dist
     rows = [
         state.r + T * bg[0], state.g + T * bg[1], state.b + T * bg[2],

@@ -111,7 +111,7 @@ def raster_forward(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, OUT_C, P), lambda t, s1, s2: (t, 0, 0),
             memory_space=pltpu.VMEM,

@@ -1,0 +1,86 @@
+"""Differentiable 2DGS rasterization — public op.
+
+``render_pairs`` is the core differentiable primitive: pair-expanded
+attributes in, tile-major render buffer out, with a custom VJP backed by
+the Pallas kernels (or the pure-jnp reference on CPU/interpret).
+
+Gradients flow to the pair attributes; the caller chains them through
+``preprocess`` with ordinary JAX autodiff:
+
+  * tracking: preprocess runs directly on frozen pair-expanded raw
+    parameters, so the pose gradient is a plain broadcast-sum — no
+    gather/scatter anywhere in the optimization loop
+    (render/__init__.py:30-39 semantics).
+  * mapping/BA: preprocess runs per-gaussian; the pair expansion is a
+    gather whose VJP (segment reduction) is handled by XLA.
+
+Reference API shape: gaus_2dgs_rasterization/__init__.py:44-161.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .binning import Binning, TileGrid
+from .compositing import ATTR_C, OUT_C, grads_wanted
+from . import composite_ref
+
+
+class RenderSettings(NamedTuple):
+    grid: TileGrid
+    use_sa: bool = True
+    backend: str = "pallas"  # pallas | interpret | reference
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def render_pairs(pair_attrs, tile_start, tile_stop, settings: RenderSettings):
+    """[ATTR_C, R] pair attrs -> [num_tiles, OUT_C, P] render buffer."""
+    return _forward(pair_attrs, tile_start, tile_stop, settings)
+
+
+def _forward(pair_attrs, tile_start, tile_stop, settings):
+    if settings.backend == "reference":
+        r = pair_attrs.shape[1]
+        bins_like = Binning(
+            pair_gauss=jnp.arange(r, dtype=jnp.int32),
+            pair_slab=jnp.arange(r, dtype=jnp.int32),
+            pair_ok=jnp.ones(r, bool),
+            tile_start=tile_start, tile_stop=tile_stop,
+            num_tiles_touched=1,
+            num_pairs=jnp.int32(r),
+            overflow=jnp.bool_(False),
+        )
+        return composite_ref.render_tiles(
+            pair_attrs.T, bins_like, settings.grid, use_sa=settings.use_sa,
+            max_pairs_per_tile=pair_attrs.shape[1],
+        )
+    from .pallas_forward import raster_forward
+
+    return raster_forward(
+        pair_attrs, tile_start, tile_stop,
+        grid=settings.grid, use_sa=settings.use_sa,
+        interpret=(settings.backend == "interpret"),
+    )
+
+
+def _fwd(pair_attrs, tile_start, tile_stop, settings):
+    out = _forward(pair_attrs, tile_start, tile_stop, settings)
+    return out, (pair_attrs, tile_start, tile_stop, out)
+
+
+def _bwd(settings, res, d_out):
+    pair_attrs, tile_start, tile_stop, out = res
+    from .pallas_backward import raster_backward
+
+    d_attrs = raster_backward(
+        pair_attrs, tile_start, tile_stop, out, d_out,
+        grid=settings.grid, use_sa=settings.use_sa,
+        interpret=(settings.backend in ("interpret", "reference")),
+    )
+    return d_attrs, None, None
+
+
+render_pairs.defvjp(_fwd, _bwd)

@@ -1,0 +1,188 @@
+"""Render facade — the four renderer modes of the reference
+(render/__init__.py: Renderer_tracking/_mapping/_BA/_view) as jit-friendly
+pure functions over the static-capacity Gaussian map.
+
+Mode semantics (gradient boundaries match the reference exactly):
+  * tracking: map parameters detached, gaussians rigidly moved into the
+    camera frame by the LIVE pose (gradient flows through the means
+    only; the rotated quaternions are detached — render/__init__.py:35-36),
+    camera view matrix = identity.
+  * mapping:  pose fixed (detached) inside the camera matrix, map
+    parameters live.
+  * ba:       both live (pose through the means path, like tracking).
+  * view:     everything detached (eval / densification / keyframe test).
+
+Weight-normalized depth + exposure are applied by the loss layer
+(slam/loss.py) on the tile-major buffers.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.gaussians import GaussianMap, Params
+from ..ops import binning as B
+from ..ops.camera import Camera
+from ..ops.preprocess import pack_pair_attrs, preprocess
+from ..ops.raster import RenderSettings, render_pairs
+from ..ops.se3 import quat_multiply, rotmat_to_quat
+
+
+class RenderOptions(NamedTuple):
+    """Static (hashable) render configuration."""
+
+    grid: B.TileGrid
+    use_sa: bool = True
+    backend: str = "pallas"
+    pair_budget_factor: int = 4   # r_max = factor * capacity
+    max_tiles_per_gaussian: int = 16
+
+    def settings(self) -> RenderSettings:
+        return RenderSettings(
+            grid=self.grid, use_sa=self.use_sa, backend=self.backend
+        )
+
+    def r_max(self, n: int) -> int:
+        return -(-(self.pair_budget_factor * n) // 128) * 128
+
+
+# ---------------------------------------------------------------------------
+# pair expansion with a controlled-VJP (the mapping-path segment reduction)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def expand_pairs(attrs_t: jnp.ndarray, bins: B.Binning, d_max: int):
+    """[N, ATTR_C] per-gaussian attrs -> [ATTR_C, R] pair-expanded."""
+    return attrs_t[bins.pair_gauss].T
+
+
+def _exp_fwd(attrs_t, bins, d_max):
+    return attrs_t[bins.pair_gauss].T, (bins, attrs_t.shape[0])
+
+
+def _exp_bwd(d_max, res, d_pairs):
+    bins, n = res
+    return bins.slab_scatter_grads(d_pairs.T, n), None
+
+
+expand_pairs.defvjp(_exp_fwd, _exp_bwd)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _activated(params: Params, active):
+    return (
+        params.xyz,
+        jnp.exp(params.log_scales),
+        params.quats,
+        jax.nn.sigmoid(params.opacity_logit[:, 0]),
+        params.rgb,
+    )
+
+
+def render_full(
+    params: Params,
+    active: jnp.ndarray,
+    cam: Camera,
+    opts: RenderOptions,
+    bins: B.Binning | None = None,
+):
+    """Differentiable full-map render (mapping/BA/view paths).
+
+    Returns (out_tiled [T, OUT_C, P], bins). Binning is non-differentiable
+    structure; pass a precomputed one to reuse it across iterations.
+    """
+    xyz, scales, quats, opac, rgb = _activated(params, active)
+    pre = preprocess(xyz, scales, quats, opac, cam, active=active)
+    if bins is None:
+        bins = B.bin_gaussians(
+            jax.tree.map(lax.stop_gradient, pre), opts.grid,
+            r_max=opts.r_max(xyz.shape[0]),
+            max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
+        )
+    attrs_t = pack_pair_attrs(pre, rgb).T            # [N, ATTR_C]
+    pattrs = expand_pairs(attrs_t, bins, opts.max_tiles_per_gaussian)
+    out = render_pairs(pattrs, bins.tile_start, bins.tile_stop,
+                       opts.settings())
+    return out, bins
+
+
+def render_view(gm: GaussianMap, cam: Camera, opts: RenderOptions):
+    """Detached render at a fixed pose (Renderer_view)."""
+    params = jax.tree.map(lax.stop_gradient, gm.params)
+    out, _ = render_full(params, gm.active, cam, opts)
+    return out
+
+
+class PairCache(NamedTuple):
+    """Frozen pair-expanded raw map for the tracking hot loop.
+
+    Built once per (frame, rebin): the map is detached during tracking
+    (render/__init__.py:31-33), so raw parameters can be gathered into
+    pair order up front — after that, every tracking iteration is pure
+    elementwise math + the compositing kernel: no gather, no scatter.
+    """
+
+    xyz: jnp.ndarray       # [R, 3] world
+    scales: jnp.ndarray    # [R, 2] activated
+    quats: jnp.ndarray     # [R, 4]
+    opac: jnp.ndarray      # [R]
+    rgb: jnp.ndarray       # [R, 3]
+    tile_start: jnp.ndarray
+    tile_stop: jnp.ndarray
+
+
+def bin_for_tracking(
+    gm: GaussianMap, cam0: Camera, opts: RenderOptions
+) -> PairCache:
+    """Binning + raw-param pair expansion at the tracking init pose.
+
+    The per-tile lists (and their depth order) stay fixed across the
+    tracking iterations while the pose moves — the per-iteration motion
+    is sub-pixel, and `rebin_every` in the frontend re-runs this when
+    needed. Inactive gaussians and budget-padding pairs get opacity 0.
+    """
+    params = jax.tree.map(lax.stop_gradient, gm.params)
+    xyz, scales, quats, opac, rgb = _activated(params, gm.active)
+    pre = preprocess(xyz, scales, quats, opac, cam0, active=gm.active)
+    bins = B.bin_gaussians(
+        pre, opts.grid, r_max=opts.r_max(xyz.shape[0]),
+        max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
+    )
+    g = bins.pair_gauss
+    opac_act = jnp.where(gm.active, opac, 0.0)
+    return PairCache(
+        xyz=xyz[g], scales=scales[g], quats=quats[g],
+        opac=jnp.where(bins.pair_ok, opac_act[g], 0.0),
+        rgb=rgb[g],
+        tile_start=bins.tile_start, tile_stop=bins.tile_stop,
+    )
+
+
+def render_tracking(
+    cache: PairCache, pose_quat, pose_trans, cam_proj: Camera,
+    opts: RenderOptions,
+):
+    """Tracking-mode render: pair-cached map moved by the live pose.
+
+    Gradient path matches Renderer_tracking (render/__init__.py:30-39):
+    means through the live w2c; rotated quaternions detached; map
+    parameters constants (the cache is already detached).
+    """
+    from ..ops.se3 import pose_matrix, quat_normalize
+
+    w2c = pose_matrix(pose_quat, pose_trans)
+    xyz_cam = cache.xyz @ w2c[:3, :3].T + w2c[:3, 3]
+    q = quat_normalize(pose_quat)
+    quats_cam = lax.stop_gradient(quat_multiply(q[None, :], cache.quats))
+    cam_eye = cam_proj.replace_w2c(jnp.eye(4, dtype=jnp.float32))
+    pre = preprocess(xyz_cam, cache.scales, quats_cam, cache.opac, cam_eye)
+    pattrs = pack_pair_attrs(pre, cache.rgb)
+    return render_pairs(
+        pattrs, cache.tile_start, cache.tile_stop, opts.settings()
+    )

@@ -1,0 +1,188 @@
+"""Jitted SLAM optimization steps.
+
+The reference runs every tracking / mapping / BA iteration as a separate
+torch forward+backward+Adam step driven from python (slam/Frontend.py:75-140,
+slam/Backend.py:81-155). Here each *whole tracking loop* is one compiled
+XLA program (lax.while_loop with Adam + linear LR schedule + the
+convergence early-exit of Frontend.py:96-107), and each mapping/BA
+iteration is one compiled step function.
+
+Compile cache keys: (pair-array size R, map capacity C, tile grid,
+static option flags) — all bucketed by the callers.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models import gaussians as G
+from ..models.frame import (ExposureState, LrSchedule, PoseState,
+                            exposure_adam_step, init_pose, pose_adam_step)
+from ..ops.camera import Camera
+from ..render import PairCache, RenderOptions, render_full, render_tracking
+from .loss import LossConfig, mapping_loss, tracking_loss
+
+
+class TrackConfig(NamedTuple):
+    num_iters: int
+    converged_th: float         # <= 0 disables the early exit
+    rot_sched: LrSchedule
+    trans_sched: LrSchedule
+    betas: tuple = (0.7, 0.99)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("opts", "tcfg", "lcfg")
+)
+def tracking_loop(
+    cache: PairCache,
+    pose0: PoseState,
+    gt_tiled: jnp.ndarray,      # [T, 4, P]
+    cam_proj: Camera,           # intrinsics only (w2c ignored)
+    opts: RenderOptions,
+    tcfg: TrackConfig,
+    lcfg: LossConfig,
+):
+    """Full tracking optimization for one frame as one XLA program."""
+
+    def loss_fn(quat, trans):
+        out = render_tracking(cache, quat, trans, cam_proj, opts)
+        loss, aux = tracking_loss(out, gt_tiled, lcfg)
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    def cond(carry):
+        pose, k, conv, _, _ = carry
+        not_conv = conv <= 3 if tcfg.converged_th > 0 else jnp.bool_(True)
+        return (k < tcfg.num_iters) & not_conv
+
+    def body(carry):
+        pose, k, conv, _, _ = carry
+        (loss, aux), (g_q, g_t) = grad_fn(pose.quat, pose.trans)
+        new_pose = pose_adam_step(
+            pose, g_q, g_t, tcfg.rot_sched, tcfg.trans_sched, tcfg.betas
+        )
+        delta = jnp.linalg.norm(new_pose.trans - pose.trans)
+        conv = jnp.where(delta < tcfg.converged_th, conv + 1, 0)
+        return new_pose, k + 1, conv, loss, aux["depth_l1"]
+
+    carry0 = (pose0, jnp.int32(0), jnp.int32(0), jnp.float32(0.0),
+              jnp.float32(0.0))
+    pose, iters, _, loss, depth_l1 = lax.while_loop(cond, body, carry0)
+    return pose, {"iters": iters, "loss": loss, "depth_l1": depth_l1}
+
+
+class MapConfig(NamedTuple):
+    lrs: tuple                  # sorted tuple of (lr_key, value)
+    betas: tuple = (0.9, 0.999)
+    eps: float = 1e-15
+
+
+@functools.partial(
+    jax.jit, static_argnames=("opts", "mcfg", "lcfg")
+)
+def mapping_step(
+    gm: G.GaussianMap,
+    w2c: jnp.ndarray,           # [4, 4] fixed pose
+    gt_tiled: jnp.ndarray,      # [T, 4, P]
+    exposure: ExposureState,
+    do_exposure: jnp.ndarray,   # bool scalar
+    exp_sched: LrSchedule,
+    cam_proj: Camera,
+    opts: RenderOptions,
+    mcfg: MapConfig,
+    lcfg: LossConfig,
+):
+    """One mapping iteration: render at a fixed pose, map params live
+    (Frontend.mapping / Backend.mapping semantics)."""
+    cam = cam_proj.replace_w2c(lax.stop_gradient(w2c))
+
+    def loss_fn(params, gain, bias):
+        exp = exposure._replace(gain=gain, bias=bias) \
+            if lcfg.enable_exposure else None
+        out, _ = render_full(params, gm.active, cam, opts)
+        loss, aux = mapping_loss(out, gt_tiled, lcfg, exposure=exp)
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(gm.params, exposure.gain, exposure.bias)
+    g_params, g_gain, g_bias = grads
+
+    gm = G.adam_step(gm, g_params, dict(mcfg.lrs), mcfg.betas, mcfg.eps)
+    if lcfg.enable_exposure:
+        stepped = exposure_adam_step(exposure, g_gain, g_bias, exp_sched)
+        exposure = jax.tree.map(
+            lambda a, b: jnp.where(do_exposure, a, b), stepped, exposure
+        )
+    return gm, exposure, {"loss": loss, **aux}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("opts", "tcfg", "lcfg")
+)
+def backend_tracking_step(
+    gm: G.GaussianMap,
+    pose: PoseState,            # submap transform (live)
+    frame_w2c: jnp.ndarray,     # frame-in-submap pose (fixed)
+    gt_tiled: jnp.ndarray,
+    cam_proj: Camera,
+    opts: RenderOptions,
+    tcfg: TrackConfig,
+    lcfg: LossConfig,
+):
+    """Backend tracking step: the global map is detached, only the
+    submap transform moves (Backend.tracking, Backend.py:81-99).
+
+    Gradient path matches Renderer_tracking exactly: gaussians are moved
+    into the camera frame by the LIVE effective pose (frame_w2c @
+    submap_w2c), the rotated quaternions are detached, and the camera
+    view matrix is the identity — so the pose gradient flows only
+    through the means (render/__init__.py:30-39). Re-binned per step
+    (the effective pose moves between steps)."""
+    from ..ops.se3 import pose_matrix, quat_multiply, rotmat_to_quat
+
+    params = jax.tree.map(lax.stop_gradient, gm.params)
+    cam_eye = cam_proj.replace_w2c(jnp.eye(4, dtype=jnp.float32))
+
+    def loss_fn(quat, trans):
+        w2c = frame_w2c @ pose_matrix(quat, trans)
+        q_full = rotmat_to_quat(w2c[:3, :3])
+        moved = params._replace(
+            xyz=params.xyz @ w2c[:3, :3].T + w2c[:3, 3],
+            quats=lax.stop_gradient(
+                quat_multiply(q_full[None, :], params.quats)
+            ),
+        )
+        out, _ = render_full(moved, gm.active, cam_eye, opts)
+        loss, aux = tracking_loss(out, gt_tiled, lcfg)
+        return loss, aux
+
+    (loss, aux), (g_q, g_t) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(pose.quat, pose.trans)
+    pose = pose_adam_step(
+        pose, g_q, g_t, tcfg.rot_sched, tcfg.trans_sched, tcfg.betas
+    )
+    return pose, {"loss": loss, "depth_l1": aux["depth_l1"]}
+
+
+def ba_step(gm, pose, frame_w2c, gt_tiled, exposure, cam_proj, opts, mcfg,
+            lcfg, exp_sched):
+    """Backend "ba" op (Backend.py:130-155). NOTE: the reference's
+    Renderer_mapping DETACHES fix_w2c (render/__init__.py:60), so despite
+    stepping the transform optimizer the pose receives no gradient —
+    the op is a mapping step plus an LR-schedule advance on the submap
+    transform. Reproduced faithfully."""
+    gm, exposure, aux = mapping_step(
+        gm, frame_w2c @ pose.w2c, gt_tiled, exposure,
+        jnp.bool_(lcfg.enable_exposure), exp_sched, cam_proj, opts, mcfg,
+        lcfg,
+    )
+    pose = pose._replace(step=pose.step + 1)
+    return gm, pose, exposure, aux

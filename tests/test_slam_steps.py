@@ -1,0 +1,131 @@
+"""End-to-end smoke tests of the jitted SLAM steps on a synthetic scene.
+
+Runs on CPU with the Pallas kernels in interpret mode: init a map from
+frame 0 of the procedural box scene, check that mapping optimization
+reduces the loss, that densification covers holes, and that the tracking
+loop pulls a perturbed pose toward the ground truth.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaus_slam_tpu.data.synthetic import SyntheticDataset
+from gaus_slam_tpu.models.frame import LrSchedule, init_exposure, init_pose
+from gaus_slam_tpu.ops import binning as B
+from gaus_slam_tpu.ops.camera import Camera, camera_from_intrinsics
+from gaus_slam_tpu.ops.composite_ref import image_to_tiles, tiles_to_image
+from gaus_slam_tpu.render import RenderOptions, bin_for_tracking, render_view
+from gaus_slam_tpu.slam.densify import (DensifyConfig, add_new_gaussians,
+                                        prune_gaussians)
+from gaus_slam_tpu.slam.init_map import initialize_map
+from gaus_slam_tpu.slam.loss import LossConfig
+from gaus_slam_tpu.slam.steps import (MapConfig, TrackConfig, mapping_step,
+                                      tracking_loop)
+
+H, W = 48, 64
+CAP = 4096
+
+
+@pytest.fixture(scope="module")
+def scene():
+    ds = SyntheticDataset(height=H, width=W, num_frames=80)
+    cam = camera_from_intrinsics(H, W, ds.intrinsics, np.eye(4))
+    grid = B.make_grid(cam, 16, 16)
+    opts = RenderOptions(grid=grid, backend="interpret",
+                         pair_budget_factor=6)
+    lcfg = LossConfig()
+    frames = []
+    for i in range(6):  # small inter-frame motion (~1/80 of trajectory)
+        color, depth, _, c2w = ds[i]
+        w2c = np.linalg.inv(c2w)
+        frames.append((jnp.asarray(color / 255.0), jnp.asarray(depth),
+                       jnp.asarray(w2c, jnp.float32)))
+    return ds, cam, grid, opts, lcfg, frames
+
+
+def gt_tiles(color, depth, grid):
+    img = jnp.concatenate([color.transpose(2, 0, 1), depth[None]], axis=0)
+    return image_to_tiles(img, grid)
+
+
+def build_map(scene_data, n_map_iters=40):
+    ds, cam, grid, opts, lcfg, frames = scene_data
+    color0, depth0, w2c0 = frames[0]
+    gm = initialize_map(CAP, color0, depth0, w2c0, cam)
+    gt = gt_tiles(color0, depth0, grid)
+    mcfg = MapConfig(lrs=(
+        ("xyz_lr", 1e-4), ("scaling_lr", 1e-3), ("rotation_lr", 1e-3),
+        ("opacity_lr", 5e-2), ("rgb_lr", 2.5e-3),
+    ))
+    exp = init_exposure()
+    sched = LrSchedule(1e-4, 1e-5, 100)
+    losses = []
+    for _ in range(n_map_iters):
+        gm, exp, aux = mapping_step(
+            gm, w2c0, gt, exp, jnp.bool_(False), sched, cam, opts, mcfg, lcfg
+        )
+        losses.append(float(aux["loss"]))
+    return gm, losses
+
+
+@pytest.fixture(scope="module")
+def mapped(scene):
+    return build_map(scene)
+
+
+def test_map_init_and_mapping_converges(scene, mapped):
+    ds, cam, grid, opts, lcfg, frames = scene
+    gm, losses = mapped
+    assert int(gm.n_active) > 1000
+    # mapping must reduce the loss substantially
+    assert losses[-1] < 0.55 * losses[0], losses
+    # rendered image should resemble gt
+    color0, depth0, w2c0 = frames[0]
+    out = render_view(gm, cam.replace_w2c(w2c0), opts)
+    img = tiles_to_image(out, grid, H, W)
+    alpha = np.asarray(img[4])
+    assert alpha.mean() > 0.8  # full coverage from the init unprojection
+    rgb = np.clip(np.asarray(img[:3]).transpose(1, 2, 0), 0, 1)
+    mse = ((rgb - np.asarray(color0)) ** 2).mean()
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 18.0, psnr
+
+
+def test_densify_covers_new_view(scene, mapped):
+    ds, cam, grid, opts, lcfg, frames = scene
+    gm, _ = mapped
+    color, depth, w2c = frames[5]
+    out = render_view(gm, cam.replace_w2c(w2c), opts)
+    n_before = int(gm.n_active)
+    gm2 = add_new_gaussians(gm, w2c, color, depth, out, cam, opts,
+                            DensifyConfig(), lcfg)
+    assert int(gm2.n_active) > n_before  # new view reveals uncovered area
+    gm3 = prune_gaussians(gm2, DensifyConfig())
+    assert int(gm3.n_active) <= int(gm2.n_active)
+    # prune keeps the map consistent
+    assert bool(jnp.all(gm3.active[: int(gm3.n_active)]))
+    assert not bool(jnp.any(gm3.active[int(gm3.n_active):]))
+
+
+def test_tracking_recovers_pose(scene, mapped):
+    ds, cam, grid, opts, lcfg, frames = scene
+    gm, _ = mapped
+    color1, depth1, w2c1 = frames[1]
+
+    # init from the (slightly wrong) frame-0 pose = constant position model
+    w2c0 = frames[0][2]
+    pose0 = init_pose(w2c0)
+    cache = bin_for_tracking(gm, cam.replace_w2c(w2c0), opts)
+    gt = gt_tiles(color1, depth1, grid)
+    tcfg = TrackConfig(
+        num_iters=60, converged_th=-1.0,
+        rot_sched=LrSchedule(8e-4, 8e-5, 60),
+        trans_sched=LrSchedule(4e-3, 4e-4, 60),
+    )
+    pose, aux = tracking_loop(cache, pose0, gt, cam, opts, tcfg, lcfg)
+
+    t_err0 = float(jnp.linalg.norm(w2c0[:3, 3] - w2c1[:3, 3]))
+    t_err = float(jnp.linalg.norm(pose.w2c[:3, 3] - w2c1[:3, 3]))
+    assert int(aux["iters"]) == 60
+    assert t_err < 0.35 * t_err0, (t_err0, t_err)
