@@ -1,0 +1,136 @@
+"""Synthetic-scene experiment config (test/bench workload).
+
+Same config surface as the dataset profiles (see configs/replica/
+config.py); sized for quick end-to-end runs without external data.
+"""
+import os
+
+seed = int(os.environ.get("SEED", 0))
+h = int(os.environ.get("SYN_H", 120))
+w = int(os.environ.get("SYN_W", 160))
+num_frames = int(os.environ.get("SYN_FRAMES", 30))
+trans_lr_base = 0.002
+rot_lr_base = 0.0004
+num_tracking_iter = 30
+num_mapping_iters = 20
+num_ba_iters = 20
+localmap_max_frames = 10
+
+config = dict(
+    vis_base_dir=f"output/synthetic_seed{seed}",
+    seed=seed,
+    use_wandb=False,
+    wandb=dict(name="synthetic", project_name="gaus_slam_tpu"),
+    render=dict(
+        method="2dgs",
+        use_sa=True,
+        use_weight_norm=True,
+        enable_exposure=False,
+        eps=1e-6,
+        depth_far=1e2,
+        depth_near=1e-2,
+    ),
+    frontend=dict(
+        num_tracking_iters=num_tracking_iter,
+        num_mapping_iters=num_mapping_iters,
+        converged_th=5e-4,
+        tau_k=0.05,
+        tau_l=h * w * 1.5,
+        max_frames=localmap_max_frames,
+        vel_pose_init=True,
+        enable_retracking=False,
+        additional_densify=False,
+    ),
+    backend=dict(
+        num_ba_iters=num_ba_iters,
+        num_frame_saved=max(localmap_max_frames // 4, 2),
+        num_covis_submaps=5,
+        sleep_time=0.01,
+        mesh_vis=False,
+        render_vis=False,
+        common_vis=False,
+        gs_densify=False,
+        random_process=True,
+        final_refinement=0,
+    ),
+    densify=dict(
+        use_edge_growth=False,
+        densify_interval=20,
+        method="splatam",
+        sil_thres=0.6,
+        edge_thres=0.4,
+        dep_thres=0.1,
+        opacity_cuil=0.05,
+        scale_cuil=5e-4,
+        scale_max=0.1,
+        num_addpts=h * w,
+        percent_dense=0.01,
+        densify_grad_threshold=2e-4,
+        extent=2,
+    ),
+    loss=dict(
+        ignore_outliners=False,
+        use_normal_loss=False,
+        silmask_th=0.90,
+        tracking=dict(color=0.5, depth=1.0, normal=0),
+        mapping=dict(color=0.5, depth=1.0, normal=0, dist=0.1),
+    ),
+    data=dict(
+        dataset_name="synthetic",
+        basedir="",
+        sequence="box",
+        gradslam_data_cfg=None,
+        desired_image_height=h,
+        desired_image_width=w,
+        num_frames_total=max(num_frames, 60),
+        start=0,
+        end=-1,
+        stride=1,
+        num_frames=num_frames,
+    ),
+    gaussians=dict(
+        gaussian_distribution="anisotropic",
+        training_args=dict(
+            xyz_lr=0.0001,
+            feature_lr=0.0025,
+            rgb_lr=0.0025,
+            rotation_lr=0.001,
+            opacity_lr=0.05,
+            scaling_lr=0.001,
+        ),
+    ),
+    cameras=dict(
+        adam_betas=(0.7, 0.99),
+        frontend_lr=dict(
+            cam_rot_lr_init=rot_lr_base,
+            cam_rot_lr_final=rot_lr_base / 5,
+            cam_rot_lr_max_step=num_tracking_iter,
+            cam_trans_lr_init=trans_lr_base,
+            cam_trans_lr_final=trans_lr_base / 5,
+            cam_trans_lr_max_step=num_tracking_iter,
+            exposure_lr_init=0.005,
+            exposure_lr_final=0.0001,
+            exposure_lr_max_step=60,
+        ),
+        backend_lr=dict(
+            cam_rot_lr_init=rot_lr_base / 4,
+            cam_rot_lr_final=0.0,
+            cam_rot_lr_max_step=2 * num_ba_iters,
+            cam_trans_lr_init=trans_lr_base / 4,
+            cam_trans_lr_final=0.0,
+            cam_trans_lr_max_step=2 * num_ba_iters,
+            exposure_lr_init=0.005,
+            exposure_lr_final=0.0001,
+            exposure_lr_max_step=60,
+        ),
+    ),
+    tpu=dict(
+        pair_budget_factor=4,
+        max_tiles_per_gaussian=9,
+        capacity_quantum=1 << 15,
+    ),
+    viz=dict(viz_w=w, viz_h=h, view_scale=1, mesh_every=5,
+             gen_animation=False, video_freq=30),
+    eval=dict(save_renders=False, eval_mesh=False, save_mesh=False,
+              mesh_interval=5, voxel_size=0.01),
+)

@@ -157,6 +157,8 @@ class Frame:
         if not save:
             self.gt_color = None
             self.gt_depth = None
+            if hasattr(self, "gt_tiled"):
+                self.gt_tiled = None
 
     @property
     def get_w2c(self):

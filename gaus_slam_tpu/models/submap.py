@@ -1,0 +1,127 @@
+"""Submap containers (reference scene/Frame.py:202-322).
+
+A LocalMap freezes a frontend submap at cut time: it rebases all frame
+poses to be relative to the first frame (so the backend can re-pose the
+whole submap with a single rigid transform), selects which frames keep
+their images (randomized priority with first/last/keyframe boosting),
+snapshots the local map parameters, and computes the covisibility
+descriptor from two representative images.
+"""
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.se3 import invert_se3
+from .descriptor import describe_frames, query_covisible
+from .frame import Frame, PoseState, init_pose
+
+
+@dataclass
+class LocalMap:
+    lmid: int
+    frames: list                      # list[Frame]
+    map_params: object                # (Params, active, n_active) snapshot
+    tracking_ok: bool = True
+    saved_idxs: list = field(default_factory=list)
+    ref2f0: np.ndarray | None = None  # first frame's w2c at cut time
+    transform: PoseState | None = None
+    map_desc: object = None           # [reps, D]
+    mapping_times: int = 0
+
+    @classmethod
+    def cut(cls, lmid, frames, map_params, num_frame_saved,
+            tracking_ok=True, rng: random.Random | None = None):
+        """Freeze a submap (LocalMap.__init__, scene/Frame.py:210-257)."""
+        rng = rng or random
+        lm = cls(lmid=lmid, frames=frames, map_params=map_params,
+                 tracking_ok=tracking_ok)
+
+        # randomized retention priority: first/last boosted by 400,
+        # keyframes by 200 (Frame.py:210-218)
+        pri = [rng.randint(0, 100) for _ in frames[:-1]]
+        if pri:
+            pri[0] += 400
+            pri[-1] += 400
+            for i in range(len(pri)):
+                pri[i] += (frames[i].frame_type < 2) * 200
+        order = sorted(range(len(pri)), key=lambda x: pri[x], reverse=True)
+        lm.saved_idxs = order[: min(num_frame_saved, len(order))]
+
+        # descriptor from two representative images BEFORE freeing data
+        reps = [frames[0].gt_color,
+                frames[max(len(frames) - 2, 0)].gt_color]
+        lm.map_desc = np.asarray(describe_frames(reps))
+
+        # rebase poses submap-relative (Frame.py:220-224)
+        ref2f0 = np.asarray(frames[0].get_w2c)
+        f02ref = np.asarray(invert_se3(jnp.asarray(ref2f0)))
+        lm.ref2f0 = ref2f0
+        for idx, fr in enumerate(frames):
+            fr.finish_optimizer(save=(idx in lm.saved_idxs))
+            fr.est_w2c = fr.est_w2c @ f02ref
+        return lm
+
+    def start_optimizer(self, initial_w2c):
+        self.transform = init_pose(initial_w2c)
+
+    def get_frame_w2c(self, f_idx):
+        """Composed pose: frame-in-submap @ submap transform
+        (Frame.py:246-248)."""
+        assert self.transform is not None
+        return jnp.asarray(self.frames[f_idx].est_w2c) @ self.transform.w2c
+
+    @property
+    def get_w2c(self):
+        assert self.transform is not None
+        return self.transform.w2c
+
+
+class Localmaps(list):
+    """Submap list + descriptor matrix + covisibility query
+    (scene/Frame.py:264-322)."""
+
+    def __init__(self):
+        super().__init__()
+        self.map_descs = None  # np [num, reps, D]
+
+    def add_localmap(self, lm: LocalMap):
+        self.append(lm)
+        d = lm.map_desc[None]
+        self.map_descs = d if self.map_descs is None else np.concatenate(
+            [self.map_descs, d]
+        )
+
+    def query_covisable(self, lm_idx: int, num_kf: int = 10):
+        return query_covisible(
+            jnp.asarray(self.map_descs), jnp.asarray(self.map_descs[lm_idx]),
+            num_kf,
+        )
+
+    def get_w2cs(self):
+        """Per-frame estimated w2cs in time order (Frame.py:298-308)."""
+        w2cs = []
+        for lm in self:
+            for f in lm.frames[:-1]:
+                if f.time_idx == len(w2cs) and lm.transform is not None:
+                    w2cs.append(np.asarray(
+                        jnp.asarray(f.est_w2c) @ lm.get_w2c
+                    ))
+        last = self[-1]
+        w2cs.append(np.asarray(
+            jnp.asarray(last.frames[-1].est_w2c) @ last.get_w2c
+        ))
+        return w2cs
+
+    def get_gt_w2cs(self):
+        gt = []
+        for lm in self:
+            for f in lm.frames[:-1]:
+                if f.time_idx == len(gt) and lm.transform is not None:
+                    gt.append(np.asarray(f.gt_w2c))
+        gt.append(np.asarray(self[-1].frames[-1].gt_w2c))
+        return gt

@@ -1,0 +1,238 @@
+"""Backend: submap merging + global-map refinement + pose graph.
+
+Host-side orchestration mirroring slam/Backend.py of the reference:
+
+  process_localmap: rigid-transfer the submap's gaussians into the
+  global frame (new gaussians start transparent via the opacity cap),
+  retrieve covisible submaps by descriptor, and schedule a task queue of
+  mapping / prune / tracking ops over them. A lost submap is first
+  re-tracked against the global map.
+
+  process(): drains one task at a time (the mp pipeline interleaves this
+  with queue polling); when idle, random submaps get refinement mapping.
+"""
+from __future__ import annotations
+
+import queue as _queue
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussians as G
+from ..models.frame import init_exposure
+from ..models.submap import LocalMap, Localmaps
+from ..ops.composite_ref import image_to_tiles
+from ..ops.se3 import invert_se3, quat_multiply, rotmat_to_quat
+from ..utils.config import SystemConfig
+from .steps import backend_tracking_step, mapping_step
+
+
+def transform_params(params: G.Params, transfer: jnp.ndarray) -> G.Params:
+    """Rigid transform of a raw param snapshot
+    (Backend.transfer_map_params, Backend.py:157-161)."""
+    R, t = transfer[:3, :3], transfer[:3, 3]
+    q_r = rotmat_to_quat(R)
+    return params._replace(
+        xyz=params.xyz @ R.T + t,
+        quats=quat_multiply(q_r[None, :], params.quats),
+    )
+
+
+class Backend:
+    def __init__(self, config: dict, wandb_run=None, backend: str = "pallas"):
+        self.config = config
+        self.sys = SystemConfig.from_config(config, backend=backend)
+        self.rng = random.Random(config.get("seed", 0) + 1)
+        be = config["backend"]
+        self.num_ba_iters = int(be["num_ba_iters"])
+        self.num_covis = int(be["num_covis_submaps"])
+        self.enable_random = bool(be.get("random_process", True))
+        self.final_refinement = int(be.get("final_refinement", -1))
+        self.capacity_quantum = int(config.get("tpu", {}).get(
+            "capacity_quantum", 1 << 16))
+
+        self.map: G.GaussianMap | None = None
+        self.local_maps = Localmaps()
+        self.cur_lmid = -1
+        self.task_queue = _queue.Queue()
+        self.covis_idxs: list[int] = []
+        self.exposure = init_exposure()  # placeholder when disabled
+        self.ape_rec = []
+        self.totalpts_rec = []
+
+    # ------------------------------------------------------------------
+    def _fit_capacity(self, needed: int | None = None):
+        gm = self.map
+        q = self.capacity_quantum
+        n = int(gm.n_active) if needed is None else needed
+        cap = max(q, -(-int(n * 1.3) // q) * q)
+        if cap == gm.capacity or (cap < gm.capacity
+                                  and n > 0.35 * gm.capacity):
+            return
+
+        def resize(x):
+            if cap > x.shape[0]:
+                pad = [(0, cap - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, pad)
+            return x[:cap]
+
+        params = G.Params(*(resize(p) for p in gm.params))
+        params = params._replace(
+            quats=jnp.where(
+                (jnp.arange(cap) < gm.n_active)[:, None],
+                params.quats,
+                jnp.zeros((cap, 4)).at[:, 0].set(1.0),
+            )
+        )
+        self.map = gm._replace(
+            params=params,
+            m=G.Params(*(resize(p) for p in gm.m)),
+            v=G.Params(*(resize(p) for p in gm.v)),
+            active=resize(gm.active),
+        )
+
+    def _tile_gt(self, frame):
+        if getattr(frame, "gt_tiled", None) is None:
+            img = jnp.concatenate(
+                [frame.gt_color.transpose(2, 0, 1), frame.gt_depth[None]], 0
+            )
+            frame.gt_tiled = image_to_tiles(img, self.sys.opts.grid)
+        return frame.gt_tiled
+
+    # ------------------------------------------------------------------
+    def mapping(self, lm_idx: int):
+        s = self.sys
+        lm: LocalMap = self.local_maps[lm_idx]
+        fid = self.rng.choice(lm.saved_idxs)
+        frame = lm.frames[fid]
+        w2c = lm.get_frame_w2c(fid)
+        gm, self.exposure, aux = mapping_step(
+            self.map, w2c, self._tile_gt(frame), self.exposure,
+            jnp.bool_(False), s.exp_sched_back, s.cam, s.opts, s.mcfg, s.lcfg,
+        )
+        self.map = gm
+        lm.mapping_times += 1
+        return aux
+
+    def tracking(self, lm_idx: int, tcfg=None):
+        s = self.sys
+        lm: LocalMap = self.local_maps[lm_idx]
+        fid = self.rng.choice(lm.saved_idxs)
+        frame = lm.frames[fid]
+        pose, aux = backend_tracking_step(
+            self.map, lm.transform, jnp.asarray(frame.est_w2c),
+            self._tile_gt(frame), s.cam, s.opts,
+            tcfg or s.track_back, s.lcfg,
+        )
+        lm.transform = pose
+        return aux
+
+    def re_tracking(self, lm_idx: int):
+        """Recover a lost submap against the global map with doubled
+        frontend-style tracking (Backend.re_tracking, :54-79)."""
+        iters = 2 * self.sys.track_front.num_iters
+        for _ in range(iters):
+            self.tracking(lm_idx, tcfg=self.sys.track_front)
+
+    def prune(self):
+        from .densify import prune_gaussians
+
+        self.map = prune_gaussians(self.map, self.sys.dcfg)
+        self._fit_capacity()
+
+    # ------------------------------------------------------------------
+    def process(self):
+        """Drain one task (Backend.process, :174-194)."""
+        if not self.task_queue.empty():
+            cmd = self.task_queue.get()
+            if cmd[0] == "prune":
+                self.prune()
+            elif cmd[0] == "tracking":
+                self.tracking(cmd[1])
+            elif cmd[0] == "mapping":
+                self.mapping(cmd[1])
+        elif self.enable_random and len(self.local_maps) > 0:
+            self.task_queue.put(
+                ("mapping", self.rng.choice(range(len(self.local_maps))))
+            )
+
+    def process_localmap(self, lm: LocalMap, multi_process: bool = False):
+        """Merge one submap (Backend.process_localmap, :196-248)."""
+        s = self.sys
+        self.local_maps.add_localmap(lm)
+        self.cur_lmid += 1
+        params, active, n_active = lm.map_params
+        lm.map_params = None
+
+        if self.cur_lmid == 0:
+            initial_w2kf = np.eye(4, dtype=np.float32)
+        else:
+            last = self.local_maps[self.cur_lmid - 1]
+            initial_w2kf = np.asarray(last.get_frame_w2c(-1))
+
+        if not lm.tracking_ok:
+            print("backend global tracking for local tracking lost")
+            lm.start_optimizer(initial_w2kf)
+            self.re_tracking(self.cur_lmid)
+            initial_w2kf = np.asarray(lm.get_w2c)
+
+        lm.start_optimizer(initial_w2kf)
+
+        if self.cur_lmid == 0:
+            cap = max(self.capacity_quantum,
+                      -(-int(int(n_active) * 1.3) // self.capacity_quantum)
+                      * self.capacity_quantum)
+            gm = G.empty_map(cap)
+            self.map = G.add_params(gm, params, active)
+            for _ in range(self.num_ba_iters):
+                self.task_queue.put(("mapping", 0))
+        else:
+            transfer = np.asarray(
+                invert_se3(jnp.asarray(lm.get_w2c))
+            ) @ lm.ref2f0
+            params = transform_params(params, jnp.asarray(transfer,
+                                                          jnp.float32))
+            # merged gaussians start (almost) transparent (Backend.py:226)
+            cap_logit = float(np.log(0.01 / 0.99))
+            params = params._replace(
+                opacity_logit=jnp.minimum(params.opacity_logit, cap_logit)
+            )
+            self._fit_capacity(int(self.map.n_active) + int(n_active))
+            self.map = G.add_params(self.map, params, active)
+            self.covis_idxs = self.local_maps.query_covisable(
+                self.cur_lmid, self.num_covis
+            )
+            near = self.covis_idxs[: max(self.num_covis // 2, 1)]
+            for _ in range(self.num_ba_iters):
+                self.task_queue.put(("mapping", self.rng.choice(near)))
+            self.task_queue.put(("prune", None))
+            for _ in range(self.num_ba_iters // 2):
+                self.task_queue.put(("tracking", self.cur_lmid))
+            for _ in range(self.num_ba_iters):
+                self.task_queue.put(
+                    ("mapping", self.rng.choice(self.covis_idxs)))
+            for _ in range(self.num_ba_iters):
+                self.task_queue.put(
+                    ("tracking", self.rng.choice(self.covis_idxs)))
+
+        if not multi_process:
+            while not self.task_queue.empty():
+                self.process()
+        self.totalpts_rec.append(int(self.map.n_active))
+
+    def final_refine(self, progress=False):
+        """Final refinement over random submaps (Backend.final_refine,
+        :163-172). iters == -1 means one iteration per processed frame."""
+        iters = self.final_refinement
+        if iters == -1:
+            iters = self.local_maps[-1].frames[-1].time_idx
+        rng = range(iters)
+        if progress:
+            from tqdm import tqdm
+
+            rng = tqdm(rng, total=iters, desc="final_refine")
+        for _ in rng:
+            self.mapping(self.rng.choice(range(len(self.local_maps))))

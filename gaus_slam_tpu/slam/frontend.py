@@ -1,0 +1,317 @@
+"""Frontend: per-frame tracking + local mapping + submap management.
+
+Host-side state machine around the jitted step programs, mirroring
+slam/Frontend.py of the reference:
+
+  process_frame:  velocity-model pose init -> tracking loop (one XLA
+  program) -> tracking-lost test (EMA of depth-L1) -> keyframe test via
+  rendered alpha coverage -> densify + local mapping + prune -> submap
+  cut on {lost, too many frames, map too big} and handoff to the backend
+  queue.
+
+Timing statistics keep the reference's time.json contract
+(Frontend.py:285-308).
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussians as G
+from ..models.frame import Frame, init_exposure, init_pose
+from ..models.submap import LocalMap
+from ..ops.composite_ref import image_to_tiles
+from ..ops.se3 import invert_se3
+from ..render import bin_for_tracking, render_view
+from ..utils.config import SystemConfig
+from .densify import add_new_gaussians, prune_gaussians
+from .init_map import initialize_map
+from .steps import mapping_step, tracking_loop
+
+
+def _sync(x):
+    jax.block_until_ready(x)
+    return x
+
+
+class Frontend:
+    def __init__(self, config: dict, to_backend, wandb_run=None,
+                 backend: str = "pallas"):
+        self.config = config
+        self.sys = SystemConfig.from_config(config, backend=backend)
+        self.to_backend = to_backend
+        self.wandb_run = wandb_run
+        self.rng = random.Random(config.get("seed", 0))
+
+        fr = config["frontend"]
+        self.num_mapping_iters = int(fr["num_mapping_iters"])
+        self.tau_k = float(fr["tau_k"])
+        self.tau_l = float(fr["tau_l"])
+        self.max_frames = int(fr["max_frames"])
+        self.vel_pose_init = bool(fr.get("vel_pose_init", True))
+        self.enable_retracking = bool(fr.get("enable_retracking", False))
+        self.additional_densify = bool(fr.get("additional_densify", False))
+        self.densify_interval = int(config["densify"].get("densify_interval", 20))
+        self.num_frame_saved = int(config["backend"]["num_frame_saved"])
+        self.capacity_quantum = int(config.get("tpu", {}).get(
+            "capacity_quantum", 1 << 16))
+
+        self.map: G.GaussianMap | None = None
+        self.local_frames: list[Frame] = []
+        self.cur_lmid = 0
+        self.vel = np.eye(4, dtype=np.float32)
+        self.tracking_flag = True
+        self.avg_depth_l1 = 0.05
+        self.depth_l1_rec = []
+        self.numpts_rec = []
+
+        # timing (time.json contract)
+        self.t_track_iter = [0.0, 0]
+        self.t_track_frame = [0.0, 0]
+        self.t_map_iter = [0.0, 0]
+        self.t_map_frame = [0.0, 0]
+        self.total_time = 0.0
+
+    # ------------------------------------------------------------------
+    def _capacity_for(self, n: int) -> int:
+        q = self.capacity_quantum
+        cap = max(q, -(-int(n * 1.3) // q) * q)
+        return cap
+
+    def _fit_capacity(self):
+        """Grow (or shrink with hysteresis) the map arrays so jitted step
+        compile caches key on a small set of capacity buckets."""
+        gm = self.map
+        n = int(gm.n_active)
+        cap = self._capacity_for(n)
+        if cap == gm.capacity or (cap < gm.capacity and
+                                  n > 0.35 * gm.capacity):
+            return
+
+        def resize(x):
+            if cap > x.shape[0]:
+                pad = [(0, cap - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, pad)
+            return x[:cap]
+
+        params = G.Params(*(resize(p) for p in gm.params))
+        # keep inactive quats at identity for benign preprocess numerics
+        params = params._replace(
+            quats=jnp.where(
+                (jnp.arange(cap) < gm.n_active)[:, None],
+                params.quats,
+                jnp.zeros((cap, 4)).at[:, 0].set(1.0),
+            )
+        )
+        self.map = gm._replace(
+            params=params,
+            m=G.Params(*(resize(p) for p in gm.m)),
+            v=G.Params(*(resize(p) for p in gm.v)),
+            active=resize(gm.active),
+        )
+
+    def _tile_gt(self, frame: Frame):
+        if getattr(frame, "gt_tiled", None) is None:
+            img = jnp.concatenate(
+                [frame.gt_color.transpose(2, 0, 1), frame.gt_depth[None]], 0
+            )
+            frame.gt_tiled = image_to_tiles(img, self.sys.opts.grid)
+        return frame.gt_tiled
+
+    # ------------------------------------------------------------------
+    def create_map(self):
+        """Init the local map from the first frame's unprojection + local
+        mapping (Frontend.create_map, :63-73)."""
+        frame = self.local_frames[0]
+        cap = self._capacity_for(frame.gt_color.shape[0]
+                                 * frame.gt_color.shape[1])
+        self.map = initialize_map(
+            cap, frame.gt_color, frame.gt_depth, frame.get_w2c, self.sys.cam
+        )
+        self.mapping()
+
+    def tracking(self, frame: Frame) -> float:
+        s = self.sys
+        t0 = time.perf_counter()
+        cam0 = s.cam.replace_w2c(frame.pose.w2c)
+        cache = bin_for_tracking(self.map, cam0, s.opts)
+        pose, aux = tracking_loop(
+            cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
+            s.track_front, s.lcfg,
+        )
+        _sync(pose.quat)
+        frame.pose = pose
+        iters = int(aux["iters"])
+        dt = time.perf_counter() - t0
+        self.t_track_iter[0] += dt
+        self.t_track_iter[1] += max(iters, 1)
+        return float(aux["depth_l1"])
+
+    def mapping(self, frames=None):
+        s = self.sys
+        frames = frames or self.local_frames
+        exp_dummy = init_exposure()
+        for it in range(self.num_mapping_iters):
+            t0 = time.perf_counter()
+            frame: Frame = self.rng.choice(frames)
+            exp = frame.exposure if frame.exposure is not None else exp_dummy
+            gm, exp, aux = mapping_step(
+                self.map, frame.get_w2c, self._tile_gt(frame), exp,
+                jnp.bool_(s.lcfg.enable_exposure and frame.mapping_times > 10),
+                s.exp_sched_front, s.cam, s.opts, s.mcfg, s.lcfg,
+            )
+            self.map = gm
+            if frame.exposure is not None:
+                frame.exposure = exp
+            frame.mapping_times += 1
+            if (self.additional_densify
+                    and (frame.mapping_times + 1) % self.densify_interval == 0):
+                self._densify(frame)
+            _sync(self.map.n_active)
+            self.t_map_iter[0] += time.perf_counter() - t0
+            self.t_map_iter[1] += 1
+
+    def _densify(self, frame: Frame, render_out=None):
+        s = self.sys
+        w2c = jax.lax.stop_gradient(frame.get_w2c)
+        if render_out is None:
+            render_out = render_view(self.map, s.cam.replace_w2c(w2c), s.opts)
+        self.map = add_new_gaussians(
+            self.map, w2c, frame.gt_color, frame.gt_depth, render_out,
+            s.cam, s.opts, s.dcfg, s.lcfg,
+        )
+        self._fit_capacity()
+
+    # ------------------------------------------------------------------
+    def process_frame(self, time_idx, gt_color, gt_depth, gt_pose):
+        """Main frontend pipeline (Frontend.process_frame, :142-222).
+
+        gt_color: [H, W, 3] float 0..1; gt_depth: [H, W] meters;
+        gt_pose: c2w [4, 4].
+        """
+        s = self.sys
+        gt_w2c = np.linalg.inv(np.asarray(gt_pose))
+        cur = Frame(time_idx=time_idx, gt_color=jnp.asarray(gt_color),
+                    gt_depth=jnp.asarray(gt_depth), gt_w2c=gt_w2c,
+                    kfid=self.cur_lmid)
+        self.local_frames.append(cur)
+
+        if len(self.local_frames) == 1:
+            cur.frame_type = 0  # RKF
+            cur.start_optimizer(np.eye(4, dtype=np.float32),
+                                s.lcfg.enable_exposure)
+            self.create_map()
+            return
+
+        frame_t0 = time.perf_counter()
+        last = self.local_frames[-2]
+        if not self.vel_pose_init:
+            self.vel = np.eye(4, dtype=np.float32)
+        initial_w2c = self.vel @ np.asarray(last.get_w2c)
+        cur.start_optimizer(initial_w2c, s.lcfg.enable_exposure)
+        depth_l1 = self.tracking(cur)
+        self.depth_l1_rec.append(depth_l1)
+
+        tracking_flag = (depth_l1 < self.avg_depth_l1 * 5
+                         if self.enable_retracking else True)
+        if tracking_flag:
+            self.avg_depth_l1 = 0.9 * self.avg_depth_l1 + 0.1 * depth_l1
+        self.t_track_frame[0] += time.perf_counter() - frame_t0
+        self.t_track_frame[1] += 1
+
+        is_refkf = (
+            (not tracking_flag)
+            or len(self.local_frames) > self.max_frames
+            or int(self.map.n_active) > self.tau_l
+        )
+
+        if not tracking_flag:
+            cur.start_optimizer(np.asarray(last.get_w2c),
+                                s.lcfg.enable_exposure)
+            self.vel = np.eye(4, dtype=np.float32)
+            print("Tracking failed, reset localmap!!!")
+        else:
+            self.vel = np.asarray(
+                cur.get_w2c @ invert_se3(jnp.asarray(last.get_w2c))
+            )
+
+        if not is_refkf:
+            w2c = jax.lax.stop_gradient(cur.get_w2c)
+            out = render_view(self.map, s.cam.replace_w2c(w2c), s.opts)
+            alpha = out[:, 4]
+            # padded pixels never accumulate alpha; subtract their count
+            hw = s.cam.height * s.cam.width
+            n_low = float(jnp.sum(alpha < 0.5)) - (alpha.size - hw)
+            if n_low > hw * self.tau_k:
+                map_t0 = time.perf_counter()
+                cur.frame_type = 1  # KF
+                self._densify(cur, render_out=out)
+                self.mapping()
+                self.map = prune_gaussians(self.map, s.dcfg)
+                self._fit_capacity()
+                self.t_map_frame[0] += time.perf_counter() - map_t0
+                self.t_map_frame[1] += 1
+
+        if is_refkf:
+            self._cut_submap(time_idx, gt_color, gt_depth, gt_w2c,
+                             tracking_flag)
+
+        self.numpts_rec.append(int(self.map.n_active))
+
+    def _cut_submap(self, time_idx, gt_color, gt_depth, gt_w2c,
+                    tracking_flag):
+        s = self.sys
+        lm = LocalMap.cut(
+            self.cur_lmid, self.local_frames, G.extract_params(self.map),
+            self.num_frame_saved, tracking_ok=self.tracking_flag,
+            rng=self.rng,
+        )
+        self.to_backend.put(lm)
+        self.cur_lmid += 1
+        cur = Frame(time_idx=time_idx, gt_color=jnp.asarray(gt_color),
+                    gt_depth=jnp.asarray(gt_depth), gt_w2c=gt_w2c,
+                    kfid=self.cur_lmid, frame_type=0)
+        cur.start_optimizer(np.eye(4, dtype=np.float32),
+                            s.lcfg.enable_exposure)
+        self.local_frames = [cur]
+        self.create_map()
+        self.tracking_flag = tracking_flag
+        while hasattr(self.to_backend, "qsize") and self.to_backend.qsize() > 1:
+            print("backend too busy !!!")
+            time.sleep(1)
+
+    def process_final(self):
+        if len(self.local_frames) > 1:
+            lm = LocalMap.cut(
+                self.cur_lmid, self.local_frames,
+                G.extract_params(self.map), self.num_frame_saved,
+                rng=self.rng,
+            )
+            self.cur_lmid += 1
+            self.to_backend.put(lm)
+
+    # ------------------------------------------------------------------
+    def time_stats(self) -> dict:
+        def rate(acc):
+            return acc[0] / max(acc[1], 1)
+
+        return {
+            "tracking_iter_time(ms)": rate(self.t_track_iter) * 1000,
+            "tracking_frame_time(s)": rate(self.t_track_frame),
+            "mapping_iter_time(ms)": rate(self.t_map_iter) * 1000,
+            "mapping_frame_time(s)": rate(self.t_map_frame),
+            "frame_time": (self.total_time
+                           / max(self.t_track_frame[1], 1)),
+        }
+
+    def write_time_json(self):
+        out_dir = self.config.get("vis_base_dir", "output")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "time.json"), "w") as f:
+            json.dump(self.time_stats(), f)

@@ -1,0 +1,137 @@
+"""Config-as-code loading + typed views.
+
+The experiment surface is preserved from the reference: a python module
+exporting a nested ``config`` dict with sections render / frontend /
+backend / densify / loss / data / gaussians / cameras / viz / eval
+(configs/replica/config.py), loaded via SourceFileLoader
+(scripts/gaus.py:131-133) and mutated in place with the probed camera
+height/width/intrinsics (scripts/gaus.py:75-78).
+
+``SystemConfig`` converts the dict into the hashable static config
+objects the jitted step functions key their compile caches on.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from importlib.machinery import SourceFileLoader
+
+import numpy as np
+
+from ..models.frame import LrSchedule
+from ..ops.binning import make_grid
+from ..ops.camera import Camera, camera_from_intrinsics
+from ..render import RenderOptions
+from ..slam.densify import DensifyConfig
+from ..slam.loss import LossConfig
+from ..slam.steps import MapConfig, TrackConfig
+
+
+def load_config(path: str) -> dict:
+    module = SourceFileLoader("exp_config", path).load_module()
+    return module.config
+
+
+def probe_cameras(config: dict, color, intrinsics) -> None:
+    """Fill config['cameras'] h/w/K from the first frame
+    (scripts/gaus.py:75-78)."""
+    config["cameras"]["height"] = int(color.shape[0])
+    config["cameras"]["width"] = int(color.shape[1])
+    k = np.asarray(intrinsics)
+    config["cameras"]["intrinsics"] = k[:3, :3].tolist()
+
+
+def _sched(lr_cfg: dict, prefix: str) -> LrSchedule:
+    return LrSchedule(
+        float(lr_cfg[f"{prefix}_lr_init"]),
+        float(lr_cfg[f"{prefix}_lr_final"]),
+        int(lr_cfg[f"{prefix}_lr_max_step"]),
+    )
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    cam: Camera                # intrinsics carrier (w2c = identity)
+    opts: RenderOptions
+    lcfg: LossConfig
+    dcfg: DensifyConfig
+    mcfg: MapConfig
+    track_front: TrackConfig
+    track_back: TrackConfig
+    exp_sched_front: LrSchedule
+    exp_sched_back: LrSchedule
+    adam_betas: tuple
+
+    @classmethod
+    def from_config(cls, config: dict, backend: str = "pallas"):
+        camcfg = config["cameras"]
+        h, w = camcfg["height"], camcfg["width"]
+        cam = camera_from_intrinsics(
+            h, w, np.asarray(camcfg["intrinsics"]), np.eye(4, dtype=np.float32)
+        )
+        grid = make_grid(cam, 16, 16)
+        r = config["render"]
+        opts = RenderOptions(
+            grid=grid, use_sa=bool(r.get("use_sa", True)), backend=backend,
+            pair_budget_factor=int(config.get("tpu", {}).get(
+                "pair_budget_factor", 4)),
+            max_tiles_per_gaussian=int(config.get("tpu", {}).get(
+                "max_tiles_per_gaussian", 9)),
+        )
+        loss = config["loss"]
+        dens = config["densify"]
+        lcfg = LossConfig(
+            use_weight_norm=bool(r.get("use_weight_norm", True)),
+            eps=float(r.get("eps", 1e-6)),
+            depth_far=float(r.get("depth_far", 1e2)),
+            depth_near=float(r.get("depth_near", 1e-2)),
+            enable_exposure=bool(r.get("enable_exposure", False)),
+            silmask_th=float(loss.get("silmask_th", 0.9)),
+            ignore_outliers=bool(loss.get("ignore_outliners", False)),
+            w_color_tracking=float(loss["tracking"]["color"]),
+            w_depth_tracking=float(loss["tracking"]["depth"]),
+            w_color_mapping=float(loss["mapping"]["color"]),
+            w_depth_mapping=float(loss["mapping"]["depth"]),
+            w_dist=float(loss["mapping"].get("dist", 0.0)),
+            use_edge_growth=bool(dens.get("use_edge_growth", False)),
+            edge_thres=float(dens.get("edge_thres", 0.4)),
+        )
+        dcfg = DensifyConfig(
+            sil_thres=float(dens["sil_thres"]),
+            dep_thres=float(dens.get("dep_thres", 0.1)),
+            opacity_cull=float(dens.get("opacity_cuil", 0.05)),
+            scale_cull=float(dens.get("scale_cuil", 5e-4)),
+            scale_max=float(dens.get("scale_max", 0.1)),
+            use_edge_growth=bool(dens.get("use_edge_growth", False)),
+            edge_thres=float(dens.get("edge_thres", 0.4)),
+        )
+        ta = config["gaussians"]["training_args"]
+        mcfg = MapConfig(lrs=tuple(sorted(
+            (k, float(v)) for k, v in ta.items()
+            if k in ("xyz_lr", "scaling_lr", "rotation_lr", "opacity_lr",
+                     "rgb_lr")
+        )))
+        betas = tuple(camcfg.get("adam_betas", (0.9, 0.99)))
+        fe, be = camcfg["frontend_lr"], camcfg["backend_lr"]
+        fr = config["frontend"]
+        nb = config["backend"]["num_ba_iters"]
+        track_front = TrackConfig(
+            num_iters=int(fr["num_tracking_iters"]),
+            converged_th=float(fr.get("converged_th", -1)),
+            rot_sched=_sched(fe, "cam_rot"),
+            trans_sched=_sched(fe, "cam_trans"),
+            betas=betas,
+        )
+        track_back = TrackConfig(
+            num_iters=nb,
+            converged_th=-1.0,
+            rot_sched=_sched(be, "cam_rot"),
+            trans_sched=_sched(be, "cam_trans"),
+            betas=betas,
+        )
+        return cls(
+            cam=cam, opts=opts, lcfg=lcfg, dcfg=dcfg, mcfg=mcfg,
+            track_front=track_front, track_back=track_back,
+            exp_sched_front=_sched(fe, "exposure"),
+            exp_sched_back=_sched(be, "exposure"),
+            adam_betas=betas,
+        )

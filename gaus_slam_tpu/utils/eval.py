@@ -1,0 +1,95 @@
+"""Final evaluation pass (reference utils/eval.py:254-485).
+
+Per-frame: render at the estimated pose, PSNR (valid-depth-masked),
+MS-SSIM, LPIPS (NaN without local weights), depth RMSE/L1; trajectory
+ATE-RMSE with Umeyama alignment. Writes result.json + per-frame txt
+dumps. TSDF mesh evaluation (F-score) lives in utils/eval_mesh.py and is
+gated by config['eval']['eval_mesh'].
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussians as G
+from ..ops.composite_ref import tiles_to_image
+from ..render import RenderOptions, render_view
+from ..slam.loss import LossConfig, normalized_depth
+from ..utils.config import SystemConfig
+from .image_metrics import lpips, ms_ssim, psnr
+from .trajectory import ate_rmse
+
+
+def eval_final(
+    config: dict,
+    gm: G.GaussianMap,
+    w2cs,                 # list/array of estimated per-frame w2c
+    gt_w2cs,
+    dataset,              # indexable -> (color 0..255, depth, K, c2w)
+    out_dir: str | None = None,
+    backend: str = "pallas",
+    stride: int = 1,
+    save_renders: bool = False,
+) -> dict:
+    sys_cfg = SystemConfig.from_config(config, backend=backend)
+    cam, opts, lcfg = sys_cfg.cam, sys_cfg.opts, sys_cfg.lcfg
+    out_dir = out_dir or config.get("vis_base_dir", "output")
+    os.makedirs(out_dir, exist_ok=True)
+
+    ate = ate_rmse(w2cs, gt_w2cs)
+
+    psnrs, ssims, lpipss, rmses, l1s = [], [], [], [], []
+    n = min(len(w2cs), len(dataset))
+    for i in range(0, n, stride):
+        color, depth, _, _ = dataset[i]
+        gt_color = jnp.asarray(color, jnp.float32) / 255.0
+        gt_depth = jnp.asarray(depth, jnp.float32)
+        if gt_depth.ndim == 3:
+            gt_depth = gt_depth[..., 0]
+        out = render_view(
+            gm, cam.replace_w2c(jnp.asarray(w2cs[i], jnp.float32)), opts
+        )
+        h, w = cam.height, cam.width
+        img = tiles_to_image(
+            jnp.concatenate(
+                [out[:, 0:3], normalized_depth(out, lcfg)[:, None]], axis=1
+            ),
+            opts.grid, h, w,
+        )
+        rgb = jnp.clip(img[:3].transpose(1, 2, 0), 0.0, 1.0)
+        rdepth = img[3]
+
+        valid = gt_depth > 0
+        psnrs.append(float(psnr(rgb, gt_color, mask=valid)))
+        ssims.append(float(ms_ssim(rgb, gt_color)))
+        lpipss.append(lpips(np.asarray(rgb), np.asarray(gt_color)))
+        diff = np.asarray(jnp.where(valid, rdepth - gt_depth, 0.0))
+        nv = max(int(np.asarray(valid).sum()), 1)
+        rmses.append(float(np.sqrt((diff**2).sum() / nv)))
+        l1s.append(float(np.abs(diff).sum() / nv))
+
+        if save_renders:
+            rd = os.path.join(out_dir, "renders")
+            os.makedirs(rd, exist_ok=True)
+            np.save(os.path.join(rd, f"{i:05d}.npy"), np.asarray(rgb))
+
+    result = {
+        "PSNR": float(np.mean(psnrs)),
+        "MS-SSIM": float(np.mean(ssims)),
+        "LPIPS": float(np.nanmean(lpipss)) if lpipss else float("nan"),
+        "Depth RMSE": float(np.mean(rmses)),
+        "Depth L1": float(np.mean(l1s)),
+        "ATE RMSE": ate["rmse"],
+        "ATE stats": ate,
+        "num_gaussians": int(gm.n_active),
+    }
+    with open(os.path.join(out_dir, "result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    for name, vals in (("psnr", psnrs), ("ssim", ssims), ("lpips", lpipss),
+                       ("rmse", rmses), ("l1", l1s)):
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write("\n".join(str(v) for v in vals))
+    return result

@@ -1,0 +1,42 @@
+"""Full-system integration test: frontend + backend SLAM on the
+procedural synthetic sequence (CPU, interpret-mode kernels)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+@pytest.mark.slow
+def test_full_slam_synthetic(tmp_path):
+    os.environ["SYN_H"] = "48"
+    os.environ["SYN_W"] = "64"
+    os.environ["SYN_FRAMES"] = "12"
+    from gaus_slam_tpu.utils.config import load_config
+    from scripts.gaus import rgbd_slam
+
+    config = load_config(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "configs", "synthetic", "config.py")
+    )
+    config["vis_base_dir"] = str(tmp_path)
+    result = rgbd_slam(config, backend="interpret")
+
+    assert result["ATE RMSE"] < 0.05, result
+    assert result["PSNR"] > 20.0, result
+    assert np.isfinite(result["MS-SSIM"]) and result["MS-SSIM"] > 0.5
+    assert result["Depth L1"] < 0.1
+    # artifact contract
+    assert (tmp_path / "result.json").exists()
+    assert (tmp_path / "time.json").exists()
+    assert (tmp_path / "scene" / "gaussians.ply").exists()
+    assert (tmp_path / "scene" / "w2cs.npz.npy").exists()
+
+    # scene checkpoint round-trips
+    from gaus_slam_tpu.utils.scene_io import load_scene
+
+    cfg2, gm2, w2cs, gt = load_scene(str(tmp_path / "scene"))
+    assert int(gm2.n_active) == result["num_gaussians"]
+    assert w2cs.shape[0] == 12
