@@ -1,30 +1,45 @@
-"""Synthetic-scene experiment config (test/bench workload).
-
-Same config surface as the dataset profiles (see configs/replica/
-config.py); sized for quick end-to-end runs without external data.
+"""Replica experiment profile (parity with the reference
+configs/replica/config.py — same sections, knobs, and values; ablation
+switches A-H via the EXP env var, scene via SCENE_NUM, seed via SEED).
 """
 import os
 
+scenes = ["room0", "room1", "room2",
+          "office0", "office1", "office2", "office3", "office4"]
+
 seed = int(os.environ.get("SEED", 0))
-h = int(os.environ.get("SYN_H", 120))
-w = int(os.environ.get("SYN_W", 160))
-num_frames = int(os.environ.get("SYN_FRAMES", 30))
+scene_name = scenes[int(os.environ.get("SCENE_NUM", 0))]
+exp = int(os.environ.get("EXP", 0))
+
+# ablation switches (README.md:163-168 of the reference)
+wo_unbiased_depth = exp == 1     # A: 3dgs rasterization path
+wo_sa = exp == 2                 # B: no surface-aware depth
+wo_weight_norm = exp == 3        # C
+wo_reg_loss = exp == 4           # D
+wo_keyframe = exp == 5           # E
+wo_localmap = exp == 6           # F
+wo_random_optimization = exp == 7  # G
+wo_final_refinement = exp == 8   # H
+
+name = "Fast_Replica"
+h = 340 * 2
+w = 600 * 2
 trans_lr_base = 0.002
 rot_lr_base = 0.0004
 num_tracking_iter = 30
-num_mapping_iters = 20
-num_ba_iters = 20
-localmap_max_frames = 10
+num_ba_iters = 40
+localmap_max_frames = 80
+num_mapping_iters = 30
 
 config = dict(
-    vis_base_dir=f"output/synthetic_seed{seed}",
+    vis_base_dir=f"output/{name}_exp{exp}_seed{seed}/{scene_name}",
     seed=seed,
     use_wandb=False,
-    wandb=dict(name="synthetic", project_name="gaus_slam_tpu"),
+    wandb=dict(name=name, project_name="GauS_SLAM_TPU_Replica"),
     render=dict(
-        method="2dgs",
-        use_sa=True,
-        use_weight_norm=True,
+        method="2dgs" if not wo_unbiased_depth else "3dgs",
+        use_sa=not wo_sa,
+        use_weight_norm=not wo_weight_norm,
         enable_exposure=False,
         eps=1e-6,
         depth_far=1e2,
@@ -34,7 +49,7 @@ config = dict(
         num_tracking_iters=num_tracking_iter,
         num_mapping_iters=num_mapping_iters,
         converged_th=5e-4,
-        tau_k=0.05,
+        tau_k=0.15,
         tau_l=h * w * 1.5,
         max_frames=localmap_max_frames,
         vel_pose_init=True,
@@ -43,15 +58,15 @@ config = dict(
     ),
     backend=dict(
         num_ba_iters=num_ba_iters,
-        num_frame_saved=max(localmap_max_frames // 4, 2),
-        num_covis_submaps=5,
-        sleep_time=0.01,
+        num_frame_saved=localmap_max_frames // 4,
+        num_covis_submaps=10,
+        sleep_time=0.1,
         mesh_vis=False,
         render_vis=False,
-        common_vis=False,
+        common_vis=True,
         gs_densify=False,
-        random_process=True,
-        final_refinement=0,
+        random_process=not wo_random_optimization,
+        final_refinement=-1 if not wo_final_refinement else 0,
     ),
     densify=dict(
         use_edge_growth=False,
@@ -65,7 +80,7 @@ config = dict(
         scale_max=0.1,
         num_addpts=h * w,
         percent_dense=0.01,
-        densify_grad_threshold=2e-4,
+        densify_grad_threshold=0.0002,
         extent=2,
     ),
     loss=dict(
@@ -73,23 +88,25 @@ config = dict(
         use_normal_loss=False,
         silmask_th=0.90,
         tracking=dict(color=0.5, depth=1.0, normal=0),
-        mapping=dict(color=0.5, depth=1.0, normal=0, dist=0.1),
+        mapping=dict(color=0.5, depth=1.0, normal=0,
+                     dist=0.1 if not wo_reg_loss else 0),
     ),
     data=dict(
-        dataset_name="synthetic",
-        basedir="",
-        sequence="box",
-        gradslam_data_cfg=None,
+        dataset_name="replica",
+        meshdir="./data/Replica/cull_replica_mesh",
+        basedir="./data/Replica",
+        gradslam_data_cfg="./configs/data/replica.yaml",
+        sequence=scene_name,
         desired_image_height=h,
         desired_image_width=w,
-        num_frames_total=max(num_frames, 60),
         start=0,
         end=-1,
         stride=1,
-        num_frames=num_frames,
+        num_frames=-1,
     ),
     gaussians=dict(
-        gaussian_distribution="anisotropic",
+        gaussian_distribution="anisotropic" if not wo_unbiased_depth
+        else "isotropic",
         training_args=dict(
             xyz_lr=0.0001,
             feature_lr=0.0025,
@@ -108,9 +125,9 @@ config = dict(
             cam_trans_lr_init=trans_lr_base,
             cam_trans_lr_final=trans_lr_base / 5,
             cam_trans_lr_max_step=num_tracking_iter,
-            exposure_lr_init=0.005,
-            exposure_lr_final=0.0001,
-            exposure_lr_max_step=60,
+            exposure_lr_init=0.0001,
+            exposure_lr_final=0.00001,
+            exposure_lr_max_step=100,
         ),
         backend_lr=dict(
             cam_rot_lr_init=rot_lr_base / 4,
@@ -119,9 +136,9 @@ config = dict(
             cam_trans_lr_init=trans_lr_base / 4,
             cam_trans_lr_final=0.0,
             cam_trans_lr_max_step=2 * num_ba_iters,
-            exposure_lr_init=0.005,
-            exposure_lr_final=0.0001,
-            exposure_lr_max_step=60,
+            exposure_lr_init=0.0001,
+            exposure_lr_final=0.00001,
+            exposure_lr_max_step=100,
         ),
     ),
     tpu=dict(
@@ -129,7 +146,7 @@ config = dict(
         max_tiles_per_gaussian=9,
         capacity_quantum=1 << 17,
     ),
-    viz=dict(viz_w=w, viz_h=h, view_scale=1, mesh_every=5,
+    viz=dict(viz_w=600, viz_h=340, view_scale=2, mesh_every=5,
              gen_animation=False, video_freq=30),
     eval=dict(save_renders=False, eval_mesh=False, save_mesh=False,
               mesh_interval=5, voxel_size=0.01),

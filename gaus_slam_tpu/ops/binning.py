@@ -48,6 +48,8 @@ def make_grid(cam: Camera, block_h: int = 16, block_w: int = 16) -> TileGrid:
 class Binning(NamedTuple):
     pair_gauss: jnp.ndarray  # [r_max] int32 gaussian index per sorted pair
     pair_slab: jnp.ndarray   # [r_max] int32 flat slab slot (d * N + g)
+    slab_tail: jnp.ndarray   # [d_max*N - r_max] slab slots sliced off by the
+                             # budget (pair_slab ++ slab_tail is a permutation)
     pair_ok: jnp.ndarray     # [r_max] bool: pair is real (not budget padding)
     tile_start: jnp.ndarray  # [num_tiles] int32 into the sorted pair array
     tile_stop: jnp.ndarray   # [num_tiles] int32
@@ -55,21 +57,31 @@ class Binning(NamedTuple):
     num_pairs: jnp.ndarray   # scalar int32
     overflow: jnp.ndarray    # scalar bool: pair budget exceeded (tail dropped)
 
-    def slab_scatter_grads(self, pair_grads: jnp.ndarray, n: int) -> jnp.ndarray:
+    def slab_scatter_grads(self, pair_grads: jnp.ndarray, n: int,
+                           d_max: int | None = None) -> jnp.ndarray:
         """Reduce per-pair gradients [R, C] -> per-gaussian [N, C].
 
-        The sort permutation is a bijection pair -> slab slot, so the
-        reduction is a (scatter-free) permutation apply + a dense sum
-        over the duplicate-slab axis: grads[d*N+g] accumulate into g.
+        XLA scatter/segment-sum serialize per row on TPU (~120ns/row);
+        sort is ~15x faster. pair_slab ++ slab_tail is by construction a
+        permutation of [0, d_max*n), so sorting the gradient rows by slab
+        slot (zero rows appended for the tail) lands every gradient at
+        its (d, g) slab position: the per-gaussian reduction is then an
+        exact dense tree-sum over the duplicate axis.
         """
-        d_max = self.num_tiles_touched
-        c = pair_grads.shape[1]
-        slab = jnp.zeros((d_max * n, c), pair_grads.dtype)
-        ok = self.pair_ok[:, None]
-        slab = slab.at[self.pair_slab].set(
-            jnp.where(ok, pair_grads, 0.0), mode="drop",
-            unique_indices=True,
-        )
+        d_max = d_max if d_max is not None else self.num_tiles_touched
+        r, c = pair_grads.shape
+        total = d_max * n
+        keys = jnp.concatenate([self.pair_slab, self.slab_tail])
+        pad = keys.shape[0] - r
+        cols = [
+            jnp.pad(
+                jnp.where(self.pair_ok, pair_grads[:, i], 0.0), (0, pad)
+            )
+            for i in range(c)
+        ]
+        sorted_ops = lax.sort((keys, *cols), num_keys=1)
+        # any budget-padding slots (keys >= total) sort to the end
+        slab = jnp.stack([col[:total] for col in sorted_ops[1:]], axis=-1)
         return slab.reshape(d_max, n, c).sum(axis=0)
 
 
@@ -153,13 +165,21 @@ def bin_gaussians(
 
     key_sorted, pair_slab = lax.sort((key, flat), num_keys=1)
     if key_sorted.shape[0] >= r_max:
+        slab_tail = pair_slab[r_max:]
         key_sorted, pair_slab = key_sorted[:r_max], pair_slab[:r_max]
     else:
+        # pad pair_slab with the would-be-missing slots so that
+        # pair_slab ++ slab_tail stays a permutation of [0, d_max*n)
         pad = r_max - key_sorted.shape[0]
         key_sorted = jnp.pad(
             key_sorted, (0, pad), constant_values=jnp.int32(0x7FFFFFFF)
         )
-        pair_slab = jnp.pad(pair_slab, (0, pad))
+        pair_slab = jnp.concatenate([
+            pair_slab,
+            jnp.full((pad,), d_max * n, jnp.int32)
+            + jnp.arange(pad, dtype=jnp.int32),
+        ])
+        slab_tail = jnp.zeros((0,), jnp.int32)
     pair_gauss = pair_slab % n
     pair_ok = key_sorted != jnp.int32(0x7FFFFFFF)
     total = jnp.sum(counts)
@@ -174,6 +194,7 @@ def bin_gaussians(
     return Binning(
         pair_gauss=pair_gauss,
         pair_slab=pair_slab,
+        slab_tail=slab_tail,
         pair_ok=pair_ok,
         tile_start=bounds[:-1],
         tile_stop=bounds[1:],

@@ -47,6 +47,7 @@ def _forward(pair_attrs, tile_start, tile_stop, settings):
         bins_like = Binning(
             pair_gauss=jnp.arange(r, dtype=jnp.int32),
             pair_slab=jnp.arange(r, dtype=jnp.int32),
+            slab_tail=jnp.zeros((0,), jnp.int32),
             pair_ok=jnp.ones(r, bool),
             tile_start=tile_start, tile_stop=tile_stop,
             num_tiles_touched=1,
