@@ -254,10 +254,21 @@ def adam_step(
     lrs: dict,
     betas: tuple = (0.9, 0.999),
     eps: float = 1e-15,
+    isotropic: bool = False,
 ) -> GaussianMap:
     """One torch-semantics Adam step over all param groups, masked to
     active rows (inactive rows receive zero grads by construction but we
-    mask anyway)."""
+    mask anyway).
+
+    isotropic: ties the two scale columns — the reference stores a single
+    scaling column tiled at render time (Gaussians.py:82,524), so its
+    gradient is the SUM over the tiled columns; columns stay equal.
+    """
+    if isotropic:
+        tied = jnp.sum(grads.log_scales, axis=-1, keepdims=True)
+        grads = grads._replace(
+            log_scales=jnp.broadcast_to(tied, grads.log_scales.shape)
+        )
     b1, b2 = betas
     step = gm.step + 1
     t = step.astype(jnp.float32)

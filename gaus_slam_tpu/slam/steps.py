@@ -81,6 +81,7 @@ class MapConfig(NamedTuple):
     lrs: tuple                  # sorted tuple of (lr_key, value)
     betas: tuple = (0.9, 0.999)
     eps: float = 1e-15
+    isotropic: bool = False
 
 
 @functools.partial(
@@ -114,7 +115,8 @@ def mapping_step(
     )(gm.params, exposure.gain, exposure.bias)
     g_params, g_gain, g_bias = grads
 
-    gm = G.adam_step(gm, g_params, dict(mcfg.lrs), mcfg.betas, mcfg.eps)
+    gm = G.adam_step(gm, g_params, dict(mcfg.lrs), mcfg.betas, mcfg.eps,
+                     isotropic=mcfg.isotropic)
     if lcfg.enable_exposure:
         stepped = exposure_adam_step(exposure, g_gain, g_bias, exp_sched)
         exposure = jax.tree.map(

@@ -105,11 +105,19 @@ class SystemConfig:
             edge_thres=float(dens.get("edge_thres", 0.4)),
         )
         ta = config["gaussians"]["training_args"]
-        mcfg = MapConfig(lrs=tuple(sorted(
-            (k, float(v)) for k, v in ta.items()
-            if k in ("xyz_lr", "scaling_lr", "rotation_lr", "opacity_lr",
-                     "rgb_lr")
-        )))
+        mcfg = MapConfig(
+            lrs=tuple(sorted(
+                (k, float(v)) for k, v in ta.items()
+                if k in ("xyz_lr", "scaling_lr", "rotation_lr",
+                         "opacity_lr", "rgb_lr")
+            )),
+            isotropic=config["gaussians"].get(
+                "gaussian_distribution", "anisotropic") == "isotropic",
+        )
+        if config["render"].get("method", "2dgs") != "2dgs":
+            raise NotImplementedError(
+                "method='3dgs' (ablation A / splatam rasterizer, reference "
+                "N7) is not implemented in the TPU build yet; use '2dgs'.")
         betas = tuple(camcfg.get("adam_betas", (0.9, 0.99)))
         fe, be = camcfg["frontend_lr"], camcfg["backend_lr"]
         fr = config["frontend"]
