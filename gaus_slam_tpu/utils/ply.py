@@ -27,7 +27,7 @@ def write_gaussians_ply(path, xyz, log_scales, quats, opacity_logit, rgb):
         [xyz, np.zeros_like(xyz), opacity_logit.reshape(n, 1),
          log_scales, quats, rgb], axis=1,
     ).astype("<f4")
-    arr = np.core.records.fromarrays(data.T, dtype=dtype)
+    arr = np.rec.fromarrays(list(data.T), dtype=dtype)
 
     header = "\n".join(
         ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
