@@ -142,7 +142,11 @@ def pack_pair_attrs(pre: PreprocResult, colors: jnp.ndarray) -> jnp.ndarray:
         pre.a1[:, 0], pre.a1[:, 1], pre.a1[:, 2],
         pre.a2[:, 0], pre.a2[:, 1], pre.a2[:, 2],
         pre.t_w[:, 0], pre.t_w[:, 1], pre.t_w[:, 2],
-        pre.center[:, 0], pre.center[:, 1],
+        # the low-pass filter center is gradient-detached: the reference
+        # routes rho2d-branch alpha gradients only into the dummy means2D
+        # densification stat, never into map params (backward.cu:450-457)
+        lax.stop_gradient(pre.center[:, 0]),
+        lax.stop_gradient(pre.center[:, 1]),
         pre.normal[:, 0], pre.normal[:, 1], pre.normal[:, 2],
         opac,
         colors[:, 0], colors[:, 1], colors[:, 2],
