@@ -239,10 +239,15 @@ def raster_backward(
     )
     kernel = functools.partial(_kernel, grid=grid, use_sa=use_sa)
     zeros = jnp.zeros((ATTR_C, r), jnp.float32)
+    from .pallas_forward import _vma_of
+
+    out_shape = jax.ShapeDtypeStruct(
+        (ATTR_C, r), jnp.float32, vma=_vma_of(pair_attrs, d_out)
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ATTR_C, r), jnp.float32),
+        out_shape=out_shape,
         input_output_aliases={4: 0},  # zeros input (arg idx incl. 2 prefetch) -> output
         interpret=interpret,
     )(tile_start, tile_stop, pair_attrs, dstate0, zeros)

@@ -122,9 +122,24 @@ def raster_forward(
         ],
     )
     kernel = functools.partial(_kernel, grid=grid, use_sa=use_sa)
+    out_shape = jax.ShapeDtypeStruct(
+        (n_tiles, OUT_C, P), jnp.float32, vma=_vma_of(pair_attrs)
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, OUT_C, P), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(tile_start, tile_stop, pair_attrs)
+
+
+def _vma_of(*xs):
+    """Union of the varying-across-mesh axes of the inputs, so the
+    kernel output is correctly typed inside shard_map (check_vma)."""
+    vma = frozenset()
+    for x in xs:
+        try:
+            vma = vma | jax.typeof(x).vma
+        except (AttributeError, TypeError):
+            pass
+    return vma

@@ -81,6 +81,13 @@ def _bwd(settings, res, d_out):
         grid=settings.grid, use_sa=settings.use_sa,
         interpret=(settings.backend in ("interpret", "reference")),
     )
+    # inside shard_map the cotangent must carry the primal's
+    # varying-across-mesh axes
+    want = getattr(jax.typeof(pair_attrs), "vma", frozenset())
+    have = getattr(jax.typeof(d_attrs), "vma", frozenset())
+    missing = tuple(want - have)
+    if missing:
+        d_attrs = jax.lax.pvary(d_attrs, missing)
     return d_attrs, None, None
 
 

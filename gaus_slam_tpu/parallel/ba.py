@@ -60,11 +60,17 @@ def sharded_ba_step(
     """
     axis = mesh.axis_names[0]
 
+    # Per-device gradients come back SHARDED over the mesh axis and are
+    # mean-reduced outside the shard_map (one XLA all-reduce on the
+    # sharded stack). No collective runs inside the shard_map body: the
+    # Pallas kernels are opaque to the vma (varying-across-mesh) type
+    # system, so with check_vma disabled any in-body psum over their
+    # outputs is unsound — keeping the body embarrassingly parallel makes
+    # check_vma=False correct by construction.
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis)),
-        out_specs=P(),
-        # pallas_call out_shapes don't carry vma annotations yet
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
     def grad_step(params, active, w2c_shard, gt_shard):
@@ -72,16 +78,14 @@ def sharded_ba_step(
             params, active, w2c_shard[0], gt_shard[0],
             cam_proj, opts, lcfg,
         )
-        grads = jax.tree.map(lambda g: lax.psum(g, axis), grads)
-        loss = lax.psum(loss, axis)
-        return grads, loss
+        return jax.tree.map(lambda g: g[None], grads), loss[None]
 
     @functools.partial(jax.jit, static_argnums=())
     def step(gm, w2cs, gt_tiled):
-        grads, loss = grad_step(gm.params, gm.active, w2cs, gt_tiled)
-        n = w2cs.shape[0]
-        grads = jax.tree.map(lambda g: g / n, grads)
+        grads_stacked, losses = grad_step(gm.params, gm.active, w2cs,
+                                          gt_tiled)
+        grads = jax.tree.map(lambda g: g.mean(axis=0), grads_stacked)
         return G.adam_step(gm, grads, dict(mcfg.lrs), mcfg.betas,
-                           mcfg.eps), loss / n
+                           mcfg.eps), losses.mean()
 
     return step(gm, w2cs, gt_tiled)
