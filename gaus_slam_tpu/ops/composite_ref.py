@@ -35,6 +35,7 @@ def render_tiles(
     bg: jnp.ndarray | None = None,
     chunk: int = 128,
     max_pairs_per_tile: int | None = None,
+    need_normal: bool = True,
 ) -> jnp.ndarray:
     """Render all tiles -> tile-major output [num_tiles, OUT_C, P].
 
@@ -69,7 +70,7 @@ def render_tiles(
                 px, py,
                 jnp.int32(c0 + 1),
                 valid[c0 : c0 + chunk, None],
-                use_sa=use_sa,
+                use_sa=use_sa, need_normal=need_normal,
             )
         outs.append(finalize(state, bg, use_sa=use_sa))
     return jnp.stack(outs, axis=0)

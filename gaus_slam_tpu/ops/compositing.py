@@ -103,6 +103,7 @@ def composite_chunk(
     pair_valid: jnp.ndarray,  # [G, 1] mask: pair belongs to this tile's range
     *,
     use_sa: bool,
+    need_normal: bool = True,
 ) -> PixelState:
     """Composite one chunk of G depth-sorted pairs into the pixel state."""
     f32 = jnp.float32
@@ -250,14 +251,19 @@ def composite_chunk(
         return jnp.sum(feat * w, axis=0, keepdims=True)
 
     # per-gaussian features (color, normal) accumulate via one MXU matmul:
-    # out[f, p] = sum_g feat[g, f] * w[g, p]
+    # out[f, p] = sum_g feat[g, f] * w[g, p]. The normal channels are
+    # gated: tracking mode never consumes them (slam/Loss.py uses normals
+    # only under use_normal_loss), and gating also removes their
+    # transposed ops from the in-kernel vjp.
     feat = attrs[:, 18:21]  # r g b
-    featn = attrs[:, 14:17]  # nx ny nz
+    if need_normal:
+        feat = jnp.concatenate([feat, attrs[:, 14:17]], axis=1)
     facc = lax.dot_general(
-        jnp.concatenate([feat, featn], axis=1), w,
+        feat, w,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [6, P]
+    )  # [3 or 6, P]
+    zrow = jnp.zeros_like(facc[0:1])
 
     done_out = jnp.maximum(
         state.done,
@@ -267,7 +273,9 @@ def composite_chunk(
     return PixelState(
         T=T_out, done=done_out,
         r=state.r + facc[0:1], g=state.g + facc[1:2], b=state.b + facc[2:3],
-        nx=state.nx + facc[3:4], ny=state.ny + facc[4:5], nz=state.nz + facc[5:6],
+        nx=state.nx + facc[3:4] if need_normal else zrow,
+        ny=state.ny + facc[4:5] if need_normal else zrow,
+        nz=state.nz + facc[5:6] if need_normal else zrow,
         D=state.D + acc(d_fused), D2=state.D2 + acc(d_fused * d_fused),
         M1=state.M1 + m1_add, M2=state.M2 + m2_add,
         dist=state.dist + dist_add,

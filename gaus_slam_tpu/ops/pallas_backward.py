@@ -107,7 +107,8 @@ def _stash_from_state(s: PixelState):
 
 
 def _kernel(start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref, dattrs_ref,
-            abuf, asem, stash, gbuf, gsem, *, grid: TileGrid, use_sa: bool):
+            abuf, asem, stash, gbuf, gsem, *, grid: TileGrid, use_sa: bool,
+            need_normal: bool):
     del zeros_ref  # aliased with dattrs_ref; reads/writes go through the output
     t = pl.program_id(0)
     start = start_ref[t]
@@ -149,7 +150,8 @@ def _kernel(start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref, dattrs_ref,
         attrs = load_chunk(k)
         idx_base, pair_valid = chunk_args(k)
         state = composite_chunk(
-            state, attrs, px, py, idx_base, pair_valid, use_sa=use_sa
+            state, attrs, px, py, idx_base, pair_valid, use_sa=use_sa,
+            need_normal=need_normal,
         )
         return k + 1, state
 
@@ -173,7 +175,7 @@ def _kernel(start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref, dattrs_ref,
 
         f = functools.partial(
             composite_chunk, px=px, py=py, idx_base=idx_base,
-            pair_valid=pair_valid, use_sa=use_sa,
+            pair_valid=pair_valid, use_sa=use_sa, need_normal=need_normal,
         )
         _, vjp_fn = jax.vjp(f, state_in, attrs)
         d_state_in, d_attrs = vjp_fn(d_state)
@@ -196,7 +198,7 @@ def _kernel(start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref, dattrs_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "use_sa", "interpret")
+    jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret")
 )
 def raster_backward(
     pair_attrs: jnp.ndarray,   # [ATTR_C, R]
@@ -207,6 +209,7 @@ def raster_backward(
     *,
     grid: TileGrid,
     use_sa: bool = True,
+    need_normal: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-pair attribute gradients [ATTR_C, R]."""
@@ -237,7 +240,8 @@ def raster_backward(
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_kernel, grid=grid, use_sa=use_sa)
+    kernel = functools.partial(_kernel, grid=grid, use_sa=use_sa,
+                               need_normal=need_normal)
     zeros = jnp.zeros((ATTR_C, r), jnp.float32)
     from .pallas_forward import _vma_of
 

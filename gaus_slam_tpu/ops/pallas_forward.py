@@ -30,7 +30,7 @@ CHUNK = 128
 
 
 def _kernel(start_ref, stop_ref, attrs_ref, out_ref, abuf, sem, *, grid: TileGrid,
-            use_sa: bool):
+            use_sa: bool, need_normal: bool):
     t = pl.program_id(0)
     start = start_ref[t]
     stop = stop_ref[t]
@@ -74,7 +74,8 @@ def _kernel(start_ref, stop_ref, attrs_ref, out_ref, abuf, sem, *, grid: TileGri
         pair_valid = ((gi >= start) & (gi < stop)).astype(jnp.float32)
         idx_base = gstart - start + 1                # 1-based in-tile index
         state = composite_chunk(
-            state, attrs, px, py, idx_base, pair_valid, use_sa=use_sa
+            state, attrs, px, py, idx_base, pair_valid, use_sa=use_sa,
+            need_normal=need_normal,
         )
         return k + 1, state
 
@@ -91,7 +92,7 @@ def _kernel(start_ref, stop_ref, attrs_ref, out_ref, abuf, sem, *, grid: TileGri
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "use_sa", "interpret")
+    jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret")
 )
 def raster_forward(
     pair_attrs: jnp.ndarray,  # [ATTR_C, R] f32, R % 128 == 0
@@ -100,6 +101,7 @@ def raster_forward(
     *,
     grid: TileGrid,
     use_sa: bool = True,
+    need_normal: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns tile-major render buffer [num_tiles, OUT_C, pixels_per_tile]."""
@@ -121,7 +123,8 @@ def raster_forward(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, grid=grid, use_sa=use_sa)
+    kernel = functools.partial(_kernel, grid=grid, use_sa=use_sa,
+                               need_normal=need_normal)
     out_shape = jax.ShapeDtypeStruct(
         (n_tiles, OUT_C, P), jnp.float32, vma=_vma_of(pair_attrs)
     )

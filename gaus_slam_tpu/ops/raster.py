@@ -33,6 +33,7 @@ class RenderSettings(NamedTuple):
     grid: TileGrid
     use_sa: bool = True
     backend: str = "pallas"  # pallas | interpret | reference
+    need_normal: bool = True  # gate normal accumulation + its grad paths
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -57,12 +58,14 @@ def _forward(pair_attrs, tile_start, tile_stop, settings):
         return composite_ref.render_tiles(
             pair_attrs.T, bins_like, settings.grid, use_sa=settings.use_sa,
             max_pairs_per_tile=pair_attrs.shape[1],
+            need_normal=settings.need_normal,
         )
     from .pallas_forward import raster_forward
 
     return raster_forward(
         pair_attrs, tile_start, tile_stop,
         grid=settings.grid, use_sa=settings.use_sa,
+        need_normal=settings.need_normal,
         interpret=(settings.backend == "interpret"),
     )
 
@@ -79,6 +82,7 @@ def _bwd(settings, res, d_out):
     d_attrs = raster_backward(
         pair_attrs, tile_start, tile_stop, out, d_out,
         grid=settings.grid, use_sa=settings.use_sa,
+        need_normal=settings.need_normal,
         interpret=(settings.backend in ("interpret", "reference")),
     )
     # inside shard_map the cotangent must carry the primal's

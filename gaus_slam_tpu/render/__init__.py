@@ -40,10 +40,12 @@ class RenderOptions(NamedTuple):
     backend: str = "pallas"
     pair_budget_factor: int = 4   # r_max = factor * capacity
     max_tiles_per_gaussian: int = 16
+    normals_in_tracking: bool = False  # loss.use_normal_loss
 
-    def settings(self) -> RenderSettings:
+    def settings(self, need_normal: bool = True) -> RenderSettings:
         return RenderSettings(
-            grid=self.grid, use_sa=self.use_sa, backend=self.backend
+            grid=self.grid, use_sa=self.use_sa, backend=self.backend,
+            need_normal=need_normal,
         )
 
     def r_max(self, n: int) -> int:
@@ -189,5 +191,6 @@ def render_tracking(
     pre = preprocess(xyz_cam, cache.scales, quats_cam, cache.opac, cam_eye)
     pattrs = pack_pair_attrs(pre, cache.rgb)
     return render_pairs(
-        pattrs, cache.tile_start, cache.tile_stop, opts.settings()
+        pattrs, cache.tile_start, cache.tile_stop,
+        opts.settings(need_normal=opts.normals_in_tracking),
     )

@@ -76,6 +76,8 @@ class SystemConfig:
                 "pair_budget_factor", 4)),
             max_tiles_per_gaussian=int(config.get("tpu", {}).get(
                 "max_tiles_per_gaussian", 9)),
+            normals_in_tracking=bool(
+                config["loss"].get("use_normal_loss", False)),
         )
         loss = config["loss"]
         dens = config["densify"]
