@@ -73,15 +73,17 @@ class Binning(NamedTuple):
         total = d_max * n
         keys = jnp.concatenate([self.pair_slab, self.slab_tail])
         pad = keys.shape[0] - r
-        cols = [
-            jnp.pad(
-                jnp.where(self.pair_ok, pair_grads[:, i], 0.0), (0, pad)
-            )
-            for i in range(c)
-        ]
-        sorted_ops = lax.sort((keys, *cols), num_keys=1)
-        # any budget-padding slots (keys >= total) sort to the end
-        slab = jnp.stack([col[:total] for col in sorted_ops[1:]], axis=-1)
+        # 2-operand sort for the permutation, then ONE wide row-gather to
+        # land gradient rows at their slab slots. (A single sort carrying
+        # all 24 gradient columns is ~3x faster in isolation but large
+        # multi-operand sorts proved unstable on the TPU runtime.)
+        _, perm = lax.sort((keys, jnp.arange(keys.shape[0], jnp.int32)),
+                           num_keys=1)
+        grads_p = jnp.pad(
+            jnp.where(self.pair_ok[:, None], pair_grads, 0.0),
+            ((0, pad), (0, 0)),
+        )
+        slab = grads_p[perm[:total]]
         return slab.reshape(d_max, n, c).sum(axis=0)
 
 
