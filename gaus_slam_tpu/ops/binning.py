@@ -77,7 +77,7 @@ class Binning(NamedTuple):
         # land gradient rows at their slab slots. (A single sort carrying
         # all 24 gradient columns is ~3x faster in isolation but large
         # multi-operand sorts proved unstable on the TPU runtime.)
-        _, perm = lax.sort((keys, jnp.arange(keys.shape[0], jnp.int32)),
+        _, perm = lax.sort((keys, jnp.arange(keys.shape[0], dtype=jnp.int32)),
                            num_keys=1)
         grads_p = jnp.pad(
             jnp.where(self.pair_ok[:, None], pair_grads, 0.0),
