@@ -130,13 +130,31 @@ class PairCache(NamedTuple):
     elementwise math + the compositing kernel: no gather, no scatter.
     """
 
-    xyz: jnp.ndarray       # [R, 3] world
-    scales: jnp.ndarray    # [R, 2] activated
-    quats: jnp.ndarray     # [R, 4]
-    opac: jnp.ndarray      # [R]
-    rgb: jnp.ndarray       # [R, 3]
+    raw: jnp.ndarray       # [R, 13] = xyz | scales | quats | opac | rgb
     tile_start: jnp.ndarray
     tile_stop: jnp.ndarray
+
+    # Column views: kept lazy so they fuse into the per-pair preprocess
+    # instead of each paying a lane-relayout pass over [R, 13].
+    @property
+    def xyz(self):
+        return self.raw[:, 0:3]
+
+    @property
+    def scales(self):
+        return self.raw[:, 3:5]
+
+    @property
+    def quats(self):
+        return self.raw[:, 5:9]
+
+    @property
+    def opac(self):
+        return self.raw[:, 9]
+
+    @property
+    def rgb(self):
+        return self.raw[:, 10:13]
 
 
 def bin_for_tracking(
@@ -163,10 +181,9 @@ def bin_for_tracking(
         [xyz, scales, quats, opac_act[:, None], rgb], axis=1
     )  # [N, 13]
     rows = raw[bins.pair_gauss]
+    rows = rows.at[:, 9].set(jnp.where(bins.pair_ok, rows[:, 9], 0.0))
     return PairCache(
-        xyz=rows[:, 0:3], scales=rows[:, 3:5], quats=rows[:, 5:9],
-        opac=jnp.where(bins.pair_ok, rows[:, 9], 0.0),
-        rgb=rows[:, 10:13],
+        raw=rows,
         tile_start=bins.tile_start, tile_stop=bins.tile_stop,
     )
 

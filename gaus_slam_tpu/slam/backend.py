@@ -161,6 +161,10 @@ class Backend:
 
     def process_localmap(self, lm: LocalMap, multi_process: bool = False):
         """Merge one submap (Backend.process_localmap, :196-248)."""
+        import os as _os
+        import time as _time
+
+        _t0 = _time.perf_counter()
         s = self.sys
         self.local_maps.add_localmap(lm)
         self.cur_lmid += 1
@@ -219,8 +223,15 @@ class Backend:
                     ("tracking", self.rng.choice(self.covis_idxs)))
 
         if not multi_process:
+            n_tasks = self.task_queue.qsize()
             while not self.task_queue.empty():
                 self.process()
+            if _os.environ.get("GAUS_PROFILE"):
+                jax.block_until_ready(self.map.params.xyz)
+                dt = _time.perf_counter() - _t0
+                print(f"[prof] backend submap: {dt:.1f}s for {n_tasks} tasks "
+                      f"({dt/max(n_tasks,1)*1000:.0f}ms/task) "
+                      f"n={int(self.map.n_active)}")
         self.totalpts_rec.append(int(self.map.n_active))
 
     def final_refine(self, progress=False):

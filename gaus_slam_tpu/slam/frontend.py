@@ -141,6 +141,9 @@ class Frontend:
         t0 = time.perf_counter()
         cam0 = s.cam.replace_w2c(frame.pose.w2c)
         cache = bin_for_tracking(self.map, cam0, s.opts)
+        if os.environ.get("GAUS_PROFILE"):
+            _sync(cache.raw)
+            t_bin = time.perf_counter() - t0
         pose, aux = tracking_loop(
             cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
             s.track_front, s.lcfg,
@@ -148,6 +151,10 @@ class Frontend:
         _sync(pose.quat)
         frame.pose = pose
         iters = int(aux["iters"])
+        if os.environ.get("GAUS_PROFILE"):
+            print(f"[prof] track: bin={t_bin*1000:.0f}ms "
+                  f"loop={(time.perf_counter()-t0-t_bin)*1000:.0f}ms "
+                  f"iters={iters}")
         dt = time.perf_counter() - t0
         self.t_track_iter[0] += dt
         self.t_track_iter[1] += max(iters, 1)
@@ -174,7 +181,10 @@ class Frontend:
                     and (frame.mapping_times + 1) % self.densify_interval == 0):
                 self._densify(frame)
             _sync(self.map.n_active)
-            self.t_map_iter[0] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            if os.environ.get("GAUS_PROFILE") and it < 2:
+                print(f"[prof] frontend map iter: {dt*1000:.0f}ms")
+            self.t_map_iter[0] += dt
             self.t_map_iter[1] += 1
 
     def _densify(self, frame: Frame, render_out=None):
