@@ -22,6 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The env assignment above is too late when a sitecustomize has already
+# imported jax (its config snapshot of JAX_PLATFORMS wins) — override the
+# live config too, before any backend is initialized by the tests. Also
+# note XLA_FLAGS is read at first backend init, which has not happened
+# yet at conftest import time.
+jax.config.update("jax_platforms", "cpu")
+
 
 def pytest_collection_modifyitems(config, items):
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
