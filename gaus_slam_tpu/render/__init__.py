@@ -114,8 +114,11 @@ def render_full(
     return out, bins
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
 def render_view(gm: GaussianMap, cam: Camera, opts: RenderOptions):
-    """Detached render at a fixed pose (Renderer_view)."""
+    """Detached render at a fixed pose (Renderer_view). Jitted: through
+    the tunneled device every un-jitted op pays ~1ms dispatch, so
+    host-driven graphs MUST be single compiled programs."""
     params = jax.tree.map(lax.stop_gradient, gm.params)
     out, _ = render_full(params, gm.active, cam, opts)
     return out
@@ -157,10 +160,12 @@ class PairCache(NamedTuple):
         return self.raw[:, 10:13]
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
 def bin_for_tracking(
     gm: GaussianMap, cam0: Camera, opts: RenderOptions
 ) -> PairCache:
     """Binning + raw-param pair expansion at the tracking init pose.
+    One compiled program (see render_view note on dispatch latency).
 
     The per-tile lists (and their depth order) stay fixed across the
     tracking iterations while the pose moves — the per-iteration motion
