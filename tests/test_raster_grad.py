@@ -1,0 +1,236 @@
+"""Direct numeric tests of the rasterizer backward stack.
+
+Three independent oracles for the custom-vjp gradient
+(ops/raster.py + ops/pallas_backward.py), per the reference backward
+semantics (gaus_2dgs_rasterization backward.cu:145-463):
+
+  1. ``jax.grad`` through ``render_pairs`` (custom vjp, interpret-mode
+     Pallas kernels) vs ``jax.grad`` through the pure-autodiff
+     ``composite_ref.render_tiles`` — the named gradient oracle.
+  2. Central finite differences on pair attributes.
+  3. ``Binning.slab_scatter_grads`` vs a dense segment-sum oracle,
+     including the pair-budget truncation path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaus_slam_tpu.ops import binning as B
+from gaus_slam_tpu.ops import composite_ref as CR
+from gaus_slam_tpu.ops.camera import Camera
+from gaus_slam_tpu.ops.compositing import OUT_C
+from gaus_slam_tpu.ops.preprocess import pack_pair_attrs, preprocess
+from gaus_slam_tpu.ops.raster import RenderSettings, render_pairs
+from gaus_slam_tpu.render import expand_pairs
+
+
+def make_cam(h, w, fx=40.0, fy=40.0):
+    return Camera(h, w, fx, fy, w / 2.0, h / 2.0,
+                  jnp.eye(4, dtype=jnp.float32))
+
+
+def scene(key, n, cam, scale=0.15, op_hi=0.9):
+    """Random front-facing gaussians, kept away from hard thresholds
+    (alpha clamp, near plane) so gradients are smooth for FD."""
+    kz, kxy, ks, kq, kc, ko = jax.random.split(key, 6)
+    z = jax.random.uniform(kz, (n,), minval=1.2, maxval=2.8)
+    u = jax.random.uniform(kxy, (n, 2), minval=0.2, maxval=0.8)
+    x = (u[:, 0] * cam.width - cam.cx) * z / cam.fx
+    y = (u[:, 1] * cam.height - cam.cy) * z / cam.fy
+    xyz = jnp.stack([x, y, z], -1)
+    scales = jax.random.uniform(ks, (n, 2), minval=0.6, maxval=1.4) * scale
+    quats = jax.random.normal(kq, (n, 4)) * 0.1
+    quats = quats.at[:, 0].add(1.0)
+    colors = jax.random.uniform(kc, (n, 3))
+    opac = jax.random.uniform(ko, (n,), minval=0.3, maxval=op_hi)
+    return xyz, scales, quats, opac, colors
+
+
+def build(key, n, cam, block=16, r_max=1024):
+    xyz, scales, quats, opac, colors = scene(key, n, cam)
+    pre = preprocess(xyz, scales, quats, opac, cam)
+    grid = B.make_grid(cam, block, block)
+    bins = B.bin_gaussians(pre, grid, r_max)
+    attrs_t = pack_pair_attrs(pre, colors).T  # [N, ATTR_C]
+    return attrs_t, bins, grid
+
+
+def random_cotangent(key, grid, n_tiles):
+    """Random loss weights on the channels that receive cotangents
+    (compositing.grads_wanted: rows 0..9)."""
+    w = jax.random.normal(key, (n_tiles, 10, grid.pixels_per_tile))
+    return jnp.pad(w, ((0, 0), (0, OUT_C - 10), (0, 0)))
+
+
+@pytest.mark.parametrize("use_sa", [False, True])
+def test_vjp_matches_autodiff_oracle_multichunk(use_sa):
+    """Multi-chunk (>128 pairs in one tile), single-tile camera so the
+    interpret-kernel chunk boundaries coincide with the reference's —
+    with use_sa the per-chunk frozen statistics are only chunk-invariant
+    when boundaries match (see compositing.py docstring)."""
+    cam = make_cam(16, 16)
+    attrs_t, bins, grid = build(jax.random.PRNGKey(0), 300, cam, r_max=512)
+    assert int(bins.tile_stop[0] - bins.tile_start[0]) > 128  # multi-chunk
+    dw = random_cotangent(jax.random.PRNGKey(1), grid, grid.num_tiles)
+    settings = RenderSettings(grid=grid, use_sa=use_sa, backend="interpret")
+
+    def loss_pallas(a):
+        pattrs = expand_pairs(a, bins, bins.num_tiles_touched)
+        out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, settings)
+        return jnp.sum(out * dw)
+
+    def loss_ref(a):
+        out = CR.render_tiles(a, bins, grid, use_sa=use_sa, chunk=128,
+                              max_pairs_per_tile=512)
+        return jnp.sum(out * dw)
+
+    v_p, g_p = jax.value_and_grad(loss_pallas)(attrs_t)
+    v_r, g_r = jax.value_and_grad(loss_ref)(attrs_t)
+    np.testing.assert_allclose(float(v_p), float(v_r), rtol=1e-5)
+    scale = np.maximum(np.abs(np.asarray(g_r)).max(), 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(g_p) / scale, np.asarray(g_r) / scale, atol=3e-5
+    )
+    assert float(jnp.abs(g_p).max()) > 0.0  # non-degenerate
+
+
+@pytest.mark.parametrize("use_sa", [False, True])
+def test_vjp_matches_autodiff_oracle_multitile(use_sa):
+    """Multi-tile scene. With use_sa the interpret kernel's globally
+    aligned chunks differ from the reference's tile-relative chunks at
+    unaligned tile starts, so sa runs with single-chunk-deep tiles (all
+    ranges < 128) where the frozen-statistics form is boundary-free."""
+    cam = make_cam(32, 32)
+    n = 25 if use_sa else 60
+    attrs_t, bins, grid = build(jax.random.PRNGKey(2), n, cam, r_max=1024)
+    if use_sa:
+        per_tile = np.asarray(bins.tile_stop - bins.tile_start)
+        assert per_tile.max() <= 128
+    dw = random_cotangent(jax.random.PRNGKey(3), grid, grid.num_tiles)
+    settings = RenderSettings(grid=grid, use_sa=use_sa, backend="interpret")
+
+    def loss_pallas(a):
+        pattrs = expand_pairs(a, bins, bins.num_tiles_touched)
+        out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, settings)
+        return jnp.sum(out * dw)
+
+    def loss_ref(a):
+        out = CR.render_tiles(a, bins, grid, use_sa=use_sa, chunk=128,
+                              max_pairs_per_tile=128)
+        return jnp.sum(out * dw)
+
+    g_p = jax.grad(loss_pallas)(attrs_t)
+    g_r = jax.grad(loss_ref)(attrs_t)
+    scale = np.maximum(np.abs(np.asarray(g_r)).max(), 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(g_p) / scale, np.asarray(g_r) / scale, atol=3e-5
+    )
+
+
+def test_vjp_finite_differences():
+    """Central differences on random pair-attribute coordinates vs the
+    custom-vjp gradient (interpret kernels).
+
+    Non-sa mode only: the surface-aware backward is a *surrogate*
+    gradient by design — fusion weights, frozen statistics and the
+    median target are detached, exactly like the reference CUDA
+    backward (backward.cu:346-351) — so finite differences of the true
+    function do not match it. The sa mode is covered by the
+    autodiff-oracle tests above, which share the stop_gradient
+    placement."""
+    cam = make_cam(16, 16)
+    attrs_t, bins, grid = build(jax.random.PRNGKey(4), 40, cam, r_max=256)
+    dw = random_cotangent(jax.random.PRNGKey(5), grid, grid.num_tiles)
+
+    for use_sa in (False,):
+        settings = RenderSettings(grid=grid, use_sa=use_sa,
+                                  backend="interpret")
+
+        def loss(a):
+            pattrs = expand_pairs(a, bins, bins.num_tiles_touched)
+            out = render_pairs(pattrs, bins.tile_start, bins.tile_stop,
+                               settings)
+            return jnp.sum(out * dw)
+
+        g = np.asarray(jax.grad(loss)(attrs_t))
+        rng = np.random.RandomState(0)
+        gmax = np.abs(g).max()
+        rel_errs = []
+        for _ in range(120):
+            if len(rel_errs) >= 20:
+                break
+            i = rng.randint(attrs_t.shape[0])
+            j = rng.randint(18)  # attribute columns with geometry/opacity
+            if abs(g[i, j]) < 1e-2 * gmax:
+                continue  # FD noise floor in f32
+            eps = 2e-3 * max(abs(float(attrs_t[i, j])), 0.25)
+            ap = attrs_t.at[i, j].add(eps)
+            am = attrs_t.at[i, j].add(-eps)
+            fd = (float(loss(ap)) - float(loss(am))) / (2 * eps)
+            rel_errs.append(abs(fd - g[i, j])
+                            / max(abs(g[i, j]), 1e-2 * gmax))
+        # the compositor is piecewise smooth (rho3d/rho2d branch, median
+        # selection): individual samples may straddle a kink, so check
+        # the population, not every sample
+        rel_errs = np.asarray(rel_errs)
+        assert len(rel_errs) >= 12, f"only {len(rel_errs)} FD checks ran"
+        assert np.median(rel_errs) < 2e-2, (use_sa, sorted(rel_errs))
+        frac_ok = float(np.mean(rel_errs < 6e-2))
+        assert frac_ok >= 0.7, (use_sa, sorted(rel_errs))
+
+
+def test_slab_scatter_grads_matches_segment_sum():
+    """slab_scatter_grads == dense per-gaussian scatter-add oracle."""
+    cam = make_cam(32, 32)
+    xyz, scales, quats, opac, colors = scene(jax.random.PRNGKey(6), 80, cam)
+    pre = preprocess(xyz, scales, quats, opac, cam)
+    grid = B.make_grid(cam, 16, 16)
+    bins = B.bin_gaussians(pre, grid, 2048)
+    assert not bool(bins.overflow)
+
+    n = 80
+    r = bins.pair_gauss.shape[0]
+    pair_grads = jax.random.normal(jax.random.PRNGKey(7), (r, 5))
+    got = np.asarray(bins.slab_scatter_grads(pair_grads, n))
+
+    oracle = np.zeros((n, 5), np.float32)
+    pg = np.asarray(bins.pair_gauss)
+    ok = np.asarray(bins.pair_ok)
+    g_np = np.asarray(pair_grads)
+    for i in range(r):
+        if ok[i]:
+            oracle[pg[i]] += g_np[i]
+    np.testing.assert_allclose(got, oracle, atol=1e-4)
+
+
+def test_slab_scatter_grads_budget_truncation():
+    """With a deliberately tiny pair budget the tail pairs are dropped;
+    the reduction must (a) keep pair_slab ++ slab_tail a permutation and
+    (b) sum exactly the kept pairs."""
+    cam = make_cam(32, 32)
+    n = 60
+    xyz, scales, quats, opac, colors = scene(jax.random.PRNGKey(8), n, cam)
+    pre = preprocess(xyz, scales, quats, opac, cam)
+    grid = B.make_grid(cam, 16, 16)
+    r_max = 128  # way below the real pair count
+    bins = B.bin_gaussians(pre, grid, r_max)
+    assert bool(bins.overflow)
+
+    # permutation invariant
+    allslots = np.sort(np.concatenate([np.asarray(bins.pair_slab),
+                                       np.asarray(bins.slab_tail)]))
+    np.testing.assert_array_equal(
+        allslots, np.arange(bins.num_tiles_touched * n)
+    )
+
+    pair_grads = jax.random.normal(jax.random.PRNGKey(9), (r_max, 3))
+    got = np.asarray(bins.slab_scatter_grads(pair_grads, n))
+    oracle = np.zeros((n, 3), np.float32)
+    pg = np.asarray(bins.pair_gauss)
+    ok = np.asarray(bins.pair_ok)
+    g_np = np.asarray(pair_grads)
+    for i in range(r_max):
+        if ok[i]:
+            oracle[pg[i]] += g_np[i]
+    np.testing.assert_allclose(got, oracle, atol=1e-5)
