@@ -56,27 +56,47 @@ class Binning(NamedTuple):
     num_tiles_touched: int   # static: d_max used for the slab expansion
     num_pairs: jnp.ndarray   # scalar int32
     overflow: jnp.ndarray    # scalar bool: pair budget exceeded (tail dropped)
+    n_shrunk: jnp.ndarray    # scalar int32: gaussians whose rect exceeded
+                             # d_max and had their radius shrunk to fit
+    counts: jnp.ndarray      # [N] int32 pairs emitted per gaussian
+                             # (post-shrink, pre-budget-truncation)
 
     def slab_scatter_grads(self, pair_grads: jnp.ndarray, n: int,
                            d_max: int | None = None) -> jnp.ndarray:
         """Reduce per-pair gradients [R, C] -> per-gaussian [N, C].
 
-        XLA scatter/segment-sum serialize per row on TPU (~120ns/row);
-        sort is ~15x faster. pair_slab ++ slab_tail is by construction a
-        permutation of [0, d_max*n), so sorting the gradient rows by slab
-        slot (zero rows appended for the tail) lands every gradient at
-        its (d, g) slab position: the per-gaussian reduction is then an
-        exact dense tree-sum over the duplicate axis.
+        XLA scatter/segment-sum serialize per row on TPU (~120ns/row),
+        and multi-operand payload sorts hang the TPU runtime, so both
+        are off the table. Two sort+gather strategies remain:
+
+          * fast path (no budget truncation): sort pairs by gaussian id
+            ([R] keys), suffix-sum each run with d_max-1 shifted masked
+            adds (runs are contiguous and <= d_max long), and land run
+            totals with ONE [N]-row gather at cumsum(counts)-1 — exact
+            because without truncation gaussian g's pairs occupy rows
+            [cumsum(counts)[g-1], cumsum(counts)[g]) of the sorted order.
+          * slab path (budget overflow): pair_slab ++ slab_tail is a
+            permutation of [0, d_max*n), so sorting gradient rows by
+            slab slot lands every gradient at its (d, g) position and a
+            dense tree-sum over d finishes. ~4x more gathered rows, but
+            immune to dropped pairs.
+
+        lax.cond executes only the taken branch at runtime.
         """
         d_max = d_max if d_max is not None else self.num_tiles_touched
+        return lax.cond(
+            self.overflow,
+            lambda g: self._slab_reduce(g, n, d_max),
+            lambda g: self._run_reduce(g, n, d_max),
+            pair_grads,
+        )
+
+    def _slab_reduce(self, pair_grads: jnp.ndarray, n: int,
+                     d_max: int) -> jnp.ndarray:
         r, c = pair_grads.shape
         total = d_max * n
         keys = jnp.concatenate([self.pair_slab, self.slab_tail])
         pad = keys.shape[0] - r
-        # 2-operand sort for the permutation, then ONE wide row-gather to
-        # land gradient rows at their slab slots. (A single sort carrying
-        # all 24 gradient columns is ~3x faster in isolation but large
-        # multi-operand sorts proved unstable on the TPU runtime.)
         _, perm = lax.sort((keys, jnp.arange(keys.shape[0], dtype=jnp.int32)),
                            num_keys=1)
         grads_p = jnp.pad(
@@ -85,6 +105,26 @@ class Binning(NamedTuple):
         )
         slab = grads_p[perm[:total]]
         return slab.reshape(d_max, n, c).sum(axis=0)
+
+    def _run_reduce(self, pair_grads: jnp.ndarray, n: int,
+                    d_max: int) -> jnp.ndarray:
+        r, _ = pair_grads.shape
+        keys = jnp.where(self.pair_ok, self.pair_gauss, n)  # dead -> tail
+        keys_sorted, perm = lax.sort(
+            (keys, jnp.arange(r, dtype=jnp.int32)), num_keys=1
+        )
+        grads_sorted = jnp.where(self.pair_ok[:, None], pair_grads, 0.0)[perm]
+        # suffix-sum each run into its LAST row
+        acc = grads_sorted
+        for s in range(1, d_max):
+            shifted = jnp.pad(grads_sorted, ((s, 0), (0, 0)))[:r]
+            kshift = jnp.pad(keys_sorted, (s, 0), constant_values=-1)[:r]
+            acc = acc + jnp.where(
+                (kshift == keys_sorted)[:, None], shifted, 0.0
+            )
+        pos = jnp.cumsum(self.counts) - 1
+        out = acc[jnp.clip(pos, 0, r - 1)]
+        return jnp.where((self.counts > 0)[:, None], out, 0.0)
 
 
 def gaussian_rects(pre: PreprocResult, grid: TileGrid):
@@ -140,7 +180,7 @@ def bin_gaussians(
     assert depth_bits >= 12, f"tile grid too large: {num_tiles} tiles"
 
     x0, y0, w, counts = gaussian_rects(pre, grid)
-    overflow = jnp.any(counts > d_max)
+    n_shrunk = jnp.sum(counts > d_max).astype(jnp.int32)
     # symmetric radius shrink until the rect fits the slab budget
     shrink = jnp.sqrt(d_max / jnp.maximum(counts, 1).astype(jnp.float32))
     radius_fit = jnp.where(counts > d_max, pre.radius * shrink * 0.999, pre.radius)
@@ -186,7 +226,7 @@ def bin_gaussians(
     pair_ok = key_sorted != jnp.int32(0x7FFFFFFF)
     total = jnp.sum(counts)
 
-    overflow = overflow | (total > r_max)
+    overflow = total > r_max
     tile_keys = lax.shift_left(
         jnp.arange(num_tiles + 1, dtype=jnp.int32), depth_bits
     )
@@ -203,4 +243,6 @@ def bin_gaussians(
         num_tiles_touched=d_max,
         num_pairs=jnp.minimum(total, r_max).astype(jnp.int32),
         overflow=overflow,
+        n_shrunk=n_shrunk,
+        counts=counts.astype(jnp.int32),
     )

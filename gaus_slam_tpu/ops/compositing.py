@@ -164,15 +164,17 @@ def composite_chunk(
     log1ma = jnp.log1p(-alpha_eff)
     cum_in = _tri_cumsum(log1ma, inclusive=True)          # [G, P]
     T_in = state.T                                        # [1, P]
-    below = lax.stop_gradient(T_in * jnp.exp(cum_in)) < T_EPS
+    # exclusive prefix: all j < i are pre-termination, where eff == accepted
+    cum_exc = cum_in - log1ma
+    T_pref = T_in * jnp.exp(cum_exc)                      # T before pair i
+    # inclusive product = T_pref * (1 - alpha_eff): one exp serves both the
+    # prefix transmittance and the termination test (exp is the costliest
+    # [G, P] op in the chunk)
+    below = lax.stop_gradient(T_pref * (1.0 - alpha_eff)) < T_EPS
     trigger = contrib_ok & below
     accept = contrib_ok & ~below
     af = lax.stop_gradient(accept.astype(f32))
     alpha_c = alpha_clamped * af
-
-    # exclusive prefix: all j < i are pre-termination, where eff == accepted
-    cum_exc = cum_in - log1ma
-    T_pref = T_in * jnp.exp(cum_exc)                      # T before pair i
     w = alpha_c * T_pref                                  # [G, P]
     T_out = T_in * jnp.exp(jnp.sum(log1ma * af, axis=0, keepdims=True))
 

@@ -197,6 +197,137 @@ def _kernel(start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref, dattrs_ref,
     lax.fori_loop(0, k_count, bwd_body, d_state0)
 
 
+def _kernel_stashed(start_ref, stop_ref, soff_ref, kexit_ref, attrs_ref,
+                    dstate0_ref, stash_ref, zeros_ref, dattrs_ref,
+                    abuf, asem, srow, ssem, gbuf, gsem, *, grid: TileGrid,
+                    use_sa: bool, need_normal: bool):
+    """Reverse sweep only: chunk carries come from the forward's stash
+    (raster_forward_stash), so the per-tile re-forward (Phase A) and its
+    attr DMAs + compositing work disappear (~1/3 of the old backward)."""
+    del zeros_ref
+    t = pl.program_id(0)
+    start = start_ref[t]
+    stop = stop_ref[t]
+    soff = soff_ref[t]
+    k_count = kexit_ref[t]
+    blk0 = start // CHUNK
+
+    P = grid.pixels_per_tile
+    ty = t // grid.tiles_x
+    tx = t % grid.tiles_x
+    p = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (tx * grid.block_w + p % grid.block_w).astype(jnp.float32)
+    py = (ty * grid.block_h + p // grid.block_w).astype(jnp.float32)
+
+    d0 = dstate0_ref[0]
+    d_state0 = PixelState(*(d0[i : i + 1]
+                            for i in range(len(PixelState._fields))))
+
+    def bwd_body(i, d_state):
+        k = k_count - 1 - i
+        # overlap the two loads
+        cp_a = pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds((blk0 + k) * CHUNK, CHUNK)], abuf, asem
+        )
+        cp_s = pltpu.make_async_copy(stash_ref.at[soff + k], srow, ssem)
+        cp_a.start()
+        cp_s.start()
+        cp_a.wait()
+        cp_s.wait()
+        attrs = jnp.transpose(abuf[:, :])
+        state_in = _state_from_stash(srow[:, :], P)
+        gstart = (blk0 + k) * CHUNK
+        gi = gstart + lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        pair_valid = ((gi >= start) & (gi < stop)).astype(jnp.float32)
+        idx_base = gstart - start + 1
+
+        f = functools.partial(
+            composite_chunk, px=px, py=py, idx_base=idx_base,
+            pair_valid=pair_valid, use_sa=use_sa, need_normal=need_normal,
+        )
+        _, vjp_fn = jax.vjp(f, state_in, attrs)
+        d_state_in, d_attrs = vjp_fn(d_state)
+
+        rd = pltpu.make_async_copy(
+            dattrs_ref.at[:, pl.ds((blk0 + k) * CHUNK, CHUNK)], gbuf, gsem
+        )
+        rd.start()
+        rd.wait()
+        gbuf[:, :] = gbuf[:, :] + jnp.transpose(d_attrs)
+        wr = pltpu.make_async_copy(
+            gbuf, dattrs_ref.at[:, pl.ds((blk0 + k) * CHUNK, CHUNK)], gsem
+        )
+        wr.start()
+        wr.wait()
+        return d_state_in
+
+    lax.fori_loop(0, k_count, bwd_body, d_state0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret")
+)
+def raster_backward_stash(
+    pair_attrs: jnp.ndarray,   # [ATTR_C, R]
+    tile_start: jnp.ndarray,   # [num_tiles]
+    tile_stop: jnp.ndarray,    # [num_tiles]
+    stash: jnp.ndarray,        # [S, STASH_C, P] from raster_forward_stash
+    kexit: jnp.ndarray,        # [num_tiles] chunks composited per tile
+    saved_out: jnp.ndarray,    # [num_tiles, OUT_C, P]
+    d_out: jnp.ndarray,        # [num_tiles, OUT_C, P]
+    *,
+    grid: TileGrid,
+    use_sa: bool = True,
+    need_normal: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from .pallas_forward import _vma_of, stash_offsets
+
+    c, r = pair_attrs.shape
+    assert c == ATTR_C and r % CHUNK == 0
+    n_tiles = grid.num_tiles
+    P = grid.pixels_per_tile
+    bg = jnp.zeros((3,), jnp.float32)
+    dstate0 = finalize_cotangents(saved_out, d_out, bg, use_sa=use_sa)
+    soff = stash_offsets(tile_start, tile_stop)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # pair attrs
+            pl.BlockSpec(
+                (1, OUT_C, P), lambda t, s1, s2, s3, s4: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),   # stash
+            pl.BlockSpec(memory_space=pl.ANY),   # zeros -> aliased output
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((ATTR_C, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((STASH_C, P), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((ATTR_C, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_kernel_stashed, grid=grid, use_sa=use_sa,
+                               need_normal=need_normal)
+    zeros = jnp.zeros((ATTR_C, r), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct(
+        (ATTR_C, r), jnp.float32, vma=_vma_of(pair_attrs, d_out)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={7: 0},  # zeros input (4 prefetch + 3) -> out
+        interpret=interpret,
+    )(tile_start, tile_stop, soff, kexit, pair_attrs, dstate0, stash, zeros)
+
+
 @functools.partial(
     jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret")
 )

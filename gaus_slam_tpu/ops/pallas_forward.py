@@ -146,3 +146,176 @@ def _vma_of(*xs):
         except (AttributeError, TypeError):
             pass
     return vma
+
+
+# ---------------------------------------------------------------------------
+# stash-carrying forward: the vjp path's forward writes each chunk's
+# incoming carry to HBM so the backward kernel can skip its re-forward
+# sweep (Phase A) entirely.
+
+def _kernel_stash(start_ref, stop_ref, soff_ref, attrs_ref, out_ref,
+                  stash_ref, kexit_ref, abuf, sem, sbuf, ssem, *,
+                  grid: TileGrid, use_sa: bool, need_normal: bool):
+    from .pallas_backward import _stash_from_state
+
+    t = pl.program_id(0)
+    start = start_ref[t]
+    stop = stop_ref[t]
+    soff = soff_ref[t]
+    blk0 = start // CHUNK
+    nblk = jnp.where(stop > start, pl.cdiv(stop, CHUNK) - blk0, 0)
+
+    P = grid.pixels_per_tile
+    ty = t // grid.tiles_x
+    tx = t % grid.tiles_x
+    p = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (tx * grid.block_w + p % grid.block_w).astype(jnp.float32)
+    py = (ty * grid.block_h + p // grid.block_w).astype(jnp.float32)
+
+    def dma(k, slot):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds((blk0 + k) * CHUNK, CHUNK)],
+            abuf.at[slot],
+            sem.at[slot],
+        )
+
+    def stash_write(k, slot):
+        return pltpu.make_async_copy(
+            sbuf.at[slot], stash_ref.at[soff + k], ssem.at[slot]
+        )
+
+    @pl.when(nblk > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(carry):
+        k, state = carry
+        return (k < nblk) & (jnp.min(state.done) < 0.5)
+
+    def body(carry):
+        k, state = carry
+        slot = lax.rem(k, 2)
+
+        # stash the incoming carry (double-buffered: drain the write
+        # issued two chunks ago before reusing its slot)
+        @pl.when(k >= 2)
+        def _():
+            stash_write(k - 2, slot).wait()
+
+        sbuf[slot] = _stash_from_state(state)
+        stash_write(k, slot).start()
+
+        @pl.when(k + 1 < nblk)
+        def _():
+            dma(k + 1, 1 - slot).start()
+
+        dma(k, slot).wait()
+        attrs = jnp.transpose(abuf[slot])
+        gstart = (blk0 + k) * CHUNK
+        gi = gstart + lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        pair_valid = ((gi >= start) & (gi < stop)).astype(jnp.float32)
+        idx_base = gstart - start + 1
+        state = composite_chunk(
+            state, attrs, px, py, idx_base, pair_valid, use_sa=use_sa,
+            need_normal=need_normal,
+        )
+        return k + 1, state
+
+    state0 = init_state(P)
+    k_exit, state = lax.while_loop(cond, body, (jnp.int32(0), state0))
+
+    # drain outstanding stash writes + any prefetched attr DMA
+    @pl.when(k_exit >= 2)
+    def _():
+        stash_write(k_exit - 2, lax.rem(k_exit, 2)).wait()
+
+    @pl.when(k_exit >= 1)
+    def _():
+        stash_write(k_exit - 1, lax.rem(k_exit - 1, 2)).wait()
+
+    @pl.when(k_exit < nblk)
+    def _():
+        dma(k_exit, lax.rem(k_exit, 2)).wait()
+
+    kexit_ref[:, :] = jnp.full((1, 128), k_exit, jnp.int32)
+    out_ref[0] = finalize(state, jnp.zeros((3,), jnp.float32), use_sa=use_sa)
+
+
+def stash_offsets(tile_start, tile_stop):
+    """Per-tile row offsets into the chunk-carry stash + its total size
+    bound: tile t owns rows [soff[t], soff[t] + nblk[t])."""
+    nblk = jnp.where(
+        tile_stop > tile_start,
+        (tile_stop + (CHUNK - 1)) // CHUNK - tile_start // CHUNK,
+        0,
+    ).astype(jnp.int32)
+    soff = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblk).astype(jnp.int32)[:-1]]
+    )
+    return soff
+
+
+def stash_rows(r: int, num_tiles: int) -> int:
+    """Static bound on total stash rows: the tile ranges partition the
+    pair array, so sum(nblk) <= r/CHUNK + num_tiles boundary blocks."""
+    return r // CHUNK + num_tiles
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret")
+)
+def raster_forward_stash(
+    pair_attrs: jnp.ndarray,
+    tile_start: jnp.ndarray,
+    tile_stop: jnp.ndarray,
+    *,
+    grid: TileGrid,
+    use_sa: bool = True,
+    need_normal: bool = True,
+    interpret: bool = False,
+):
+    """Forward + per-chunk carry stash for the Phase-A-free backward.
+
+    Returns (out [T, OUT_C, P], stash [S, STASH_C, P], kexit [T]).
+    """
+    from .pallas_backward import STASH_C
+
+    c, r = pair_attrs.shape
+    assert c == ATTR_C and r % CHUNK == 0, (c, r)
+    n_tiles = grid.num_tiles
+    P = grid.pixels_per_tile
+    S = stash_rows(r, n_tiles)
+    soff = stash_offsets(tile_start, tile_stop)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((1, OUT_C, P), lambda t, s1, s2, s3: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 128), lambda t, s1, s2, s3: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ATTR_C, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, STASH_C, P), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_stash, grid=grid, use_sa=use_sa,
+                               need_normal=need_normal)
+    vma = _vma_of(pair_attrs)
+    out, stash, kexit = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, OUT_C, P), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((S, STASH_C, P), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((n_tiles, 128), jnp.int32, vma=vma),
+        ),
+        interpret=interpret,
+    )(tile_start, tile_stop, soff, pair_attrs)
+    return out, stash, kexit[:, 0]

@@ -54,6 +54,8 @@ def _forward(pair_attrs, tile_start, tile_stop, settings):
             num_tiles_touched=1,
             num_pairs=jnp.int32(r),
             overflow=jnp.bool_(False),
+            n_shrunk=jnp.int32(0),
+            counts=jnp.ones((r,), jnp.int32),
         )
         return composite_ref.render_tiles(
             pair_attrs.T, bins_like, settings.grid, use_sa=settings.use_sa,
@@ -71,20 +73,43 @@ def _forward(pair_attrs, tile_start, tile_stop, settings):
 
 
 def _fwd(pair_attrs, tile_start, tile_stop, settings):
-    out = _forward(pair_attrs, tile_start, tile_stop, settings)
-    return out, (pair_attrs, tile_start, tile_stop, out)
+    if settings.backend == "reference":
+        out = _forward(pair_attrs, tile_start, tile_stop, settings)
+        return out, (pair_attrs, tile_start, tile_stop, out, None, None)
+    # the vjp-path forward stashes each chunk's incoming carry so the
+    # backward kernel runs its reverse sweep directly (no Phase-A
+    # re-forward)
+    from .pallas_forward import raster_forward_stash
+
+    out, stash, kexit = raster_forward_stash(
+        pair_attrs, tile_start, tile_stop,
+        grid=settings.grid, use_sa=settings.use_sa,
+        need_normal=settings.need_normal,
+        interpret=(settings.backend == "interpret"),
+    )
+    return out, (pair_attrs, tile_start, tile_stop, out, stash, kexit)
 
 
 def _bwd(settings, res, d_out):
-    pair_attrs, tile_start, tile_stop, out = res
-    from .pallas_backward import raster_backward
+    pair_attrs, tile_start, tile_stop, out, stash, kexit = res
+    if stash is None:
+        from .pallas_backward import raster_backward
 
-    d_attrs = raster_backward(
-        pair_attrs, tile_start, tile_stop, out, d_out,
-        grid=settings.grid, use_sa=settings.use_sa,
-        need_normal=settings.need_normal,
-        interpret=(settings.backend in ("interpret", "reference")),
-    )
+        d_attrs = raster_backward(
+            pair_attrs, tile_start, tile_stop, out, d_out,
+            grid=settings.grid, use_sa=settings.use_sa,
+            need_normal=settings.need_normal,
+            interpret=True,
+        )
+    else:
+        from .pallas_backward import raster_backward_stash
+
+        d_attrs = raster_backward_stash(
+            pair_attrs, tile_start, tile_stop, stash, kexit, out, d_out,
+            grid=settings.grid, use_sa=settings.use_sa,
+            need_normal=settings.need_normal,
+            interpret=(settings.backend == "interpret"),
+        )
     # inside shard_map the cotangent must carry the primal's
     # varying-across-mesh axes
     want = getattr(jax.typeof(pair_attrs), "vma", frozenset())

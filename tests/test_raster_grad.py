@@ -234,3 +234,22 @@ def test_slab_scatter_grads_budget_truncation():
         if ok[i]:
             oracle[pg[i]] += g_np[i]
     np.testing.assert_allclose(got, oracle, atol=1e-5)
+
+
+def test_run_reduce_equals_slab_reduce():
+    """The fast run-reduction (sort by gaussian + cumsum landing) equals
+    the slab permutation path whenever no budget truncation occurred."""
+    cam = make_cam(32, 32)
+    xyz, scales, quats, opac, colors = scene(jax.random.PRNGKey(10), 96, cam)
+    pre = preprocess(xyz, scales, quats, opac, cam)
+    grid = B.make_grid(cam, 16, 16)
+    bins = B.bin_gaussians(pre, grid, 2048)
+    assert not bool(bins.overflow)
+
+    n = 96
+    r = bins.pair_gauss.shape[0]
+    pair_grads = jax.random.normal(jax.random.PRNGKey(11), (r, 7))
+    d_max = bins.num_tiles_touched
+    fast = np.asarray(bins._run_reduce(pair_grads, n, d_max))
+    slab = np.asarray(bins._slab_reduce(pair_grads, n, d_max))
+    np.testing.assert_allclose(fast, slab, atol=1e-4)
