@@ -373,6 +373,68 @@ class NeRFCaptureDataset(ScannetPPDataset):
     """NeRFCapture app exports (NeRFStudio transforms.json layout)."""
 
 
+def _natkey(p):
+    """Natural sort key (the reference loaders use natsort.natsorted)."""
+    import re
+
+    return [int(t) if t.isdigit() else t
+            for t in re.split(r"(\d+)", os.path.basename(p))]
+
+
+_P_FLIP = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float64)
+
+
+class Record3DDataset(RGBDDataset):
+    """Record3D capture (reference record3d.py:13-67): rgb/*.png +
+    depth/*.png, per-frame c2w .npy poses conjugated by diag(1,-1,-1,1)
+    (the ARKit->OpenCV axis flip)."""
+
+    def get_filepaths(self):
+        d = os.path.join(self.basedir, self.sequence)
+        colors = sorted(glob.glob(os.path.join(d, "rgb", "*.png")),
+                        key=_natkey)
+        depths = sorted(glob.glob(os.path.join(d, "depth", "*.png")),
+                        key=_natkey)
+        return colors, depths
+
+    def load_poses(self):
+        d = os.path.join(self.basedir, self.sequence, "poses")
+        files = sorted(glob.glob(os.path.join(d, "*.npy")), key=_natkey)
+        return [_P_FLIP @ np.load(f) @ _P_FLIP.T for f in files]
+
+
+class RealsenseDataset(Record3DDataset):
+    """Realsense tabletop capture (reference realsense.py:13-70): same
+    pose convention as Record3D, rgb stored as jpg."""
+
+    def get_filepaths(self):
+        d = os.path.join(self.basedir, self.sequence)
+        colors = sorted(glob.glob(os.path.join(d, "rgb", "*.jpg")),
+                        key=_natkey)
+        depths = sorted(glob.glob(os.path.join(d, "depth", "*.png")),
+                        key=_natkey)
+        return colors, depths
+
+
+class Ai2thorDataset(RGBDDataset):
+    """AI2-THOR export (reference ai2thor.py): color/*.png depth/*.png
+    pose/*.txt."""
+
+    def get_filepaths(self):
+        d = os.path.join(self.basedir, self.sequence)
+        colors = sorted(glob.glob(os.path.join(d, "color", "*.png")),
+                        key=_natkey)
+        depths = sorted(glob.glob(os.path.join(d, "depth", "*.png")),
+                        key=_natkey)
+        return colors, depths
+
+    def load_poses(self):
+        d = os.path.join(self.basedir, self.sequence)
+        files = sorted(glob.glob(os.path.join(d, "pose", "*.txt")),
+                       key=_natkey)
+        return [np.loadtxt(f).reshape(4, 4) for f in files]
+
+
 DATASET_REGISTRY = {
     "replica": ReplicaDataset,
     "replicav2": ReplicaV2Dataset,
@@ -383,4 +445,7 @@ DATASET_REGISTRY = {
     "azure": AzureKinectDataset,
     "azurekinect": AzureKinectDataset,
     "nerfcapture": NeRFCaptureDataset,
+    "record3d": Record3DDataset,
+    "realsense": RealsenseDataset,
+    "ai2thor": Ai2thorDataset,
 }

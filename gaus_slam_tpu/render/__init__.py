@@ -41,11 +41,15 @@ class RenderOptions(NamedTuple):
     pair_budget_factor: int = 4   # r_max = factor * capacity
     max_tiles_per_gaussian: int = 16
     normals_in_tracking: bool = False  # loss.use_normal_loss
+    method: str = "2dgs"          # "2dgs" surfels | "3dgs" volumetric
+    iso3d: bool = False           # gaussian_distribution == isotropic
 
     def settings(self, need_normal: bool = True) -> RenderSettings:
+        # surface-aware depth fusion is a 2dgs-rasterizer feature; the
+        # 3dgs path composites plain weighted depth (render_3dgs.py:59-82)
         return RenderSettings(
-            grid=self.grid, use_sa=self.use_sa, backend=self.backend,
-            need_normal=need_normal,
+            grid=self.grid, use_sa=self.use_sa and self.method == "2dgs",
+            backend=self.backend, need_normal=need_normal,
         )
 
     def r_max(self, n: int) -> int:
@@ -87,6 +91,44 @@ def _activated(params: Params, active):
     )
 
 
+def _preprocess(xyz, scales, quats, opac, cam, opts: RenderOptions,
+                active=None):
+    """Method dispatch: 2dgs surfel homography vs 3dgs EWA conic
+    (reference render/__init__.py:7-15 `render = {'2dgs': ..., '3dgs': ...}`)."""
+    if opts.method == "3dgs":
+        from ..ops.preprocess_3dgs import preprocess_3dgs, scales_to_3d
+
+        return preprocess_3dgs(xyz, scales_to_3d(scales, opts.iso3d),
+                               quats, opac, cam, active=active)
+    return preprocess(xyz, scales, quats, opac, cam, active=active)
+
+
+def _method_mask(out, opts: RenderOptions):
+    """3dgs returns zeros for normal/middepth/dist (render_3dgs.py:90-92);
+    normals are already zero by construction, middepth/dist are masked."""
+    if opts.method != "3dgs":
+        return out
+    from ..ops.compositing import OUT_C
+
+    keep = jnp.ones((1, OUT_C, 1), out.dtype).at[0, 8:10, 0].set(0.0)
+    return out * keep
+
+
+def bin_full(
+    params: Params, active: jnp.ndarray, cam: Camera, opts: RenderOptions
+) -> B.Binning:
+    """Binning pass alone (non-differentiable structure) — callers that
+    need the overflow/shrink diagnostics compute this once and pass it to
+    ``render_full(bins=...)``."""
+    xyz, scales, quats, opac, _ = _activated(params, active)
+    pre = _preprocess(xyz, scales, quats, opac, cam, opts, active=active)
+    return B.bin_gaussians(
+        jax.tree.map(lax.stop_gradient, pre), opts.grid,
+        r_max=opts.r_max(xyz.shape[0]),
+        max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
+    )
+
+
 def render_full(
     params: Params,
     active: jnp.ndarray,
@@ -100,7 +142,7 @@ def render_full(
     structure; pass a precomputed one to reuse it across iterations.
     """
     xyz, scales, quats, opac, rgb = _activated(params, active)
-    pre = preprocess(xyz, scales, quats, opac, cam, active=active)
+    pre = _preprocess(xyz, scales, quats, opac, cam, opts, active=active)
     if bins is None:
         bins = B.bin_gaussians(
             jax.tree.map(lax.stop_gradient, pre), opts.grid,
@@ -111,7 +153,7 @@ def render_full(
     pattrs = expand_pairs(attrs_t, bins, opts.max_tiles_per_gaussian)
     out = render_pairs(pattrs, bins.tile_start, bins.tile_stop,
                        opts.settings())
-    return out, bins
+    return _method_mask(out, opts), bins
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -136,6 +178,9 @@ class PairCache(NamedTuple):
     raw: jnp.ndarray       # [R, 13] = xyz | scales | quats | opac | rgb
     tile_start: jnp.ndarray
     tile_stop: jnp.ndarray
+    num_pairs: jnp.ndarray  # scalar int32 (binning diagnostics)
+    overflow: jnp.ndarray   # scalar bool: pair budget exceeded
+    n_shrunk: jnp.ndarray   # scalar int32: rects shrunk to fit d_max
 
     # Column views: kept lazy so they fuse into the per-pair preprocess
     # instead of each paying a lane-relayout pass over [R, 13].
@@ -174,7 +219,7 @@ def bin_for_tracking(
     """
     params = jax.tree.map(lax.stop_gradient, gm.params)
     xyz, scales, quats, opac, rgb = _activated(params, gm.active)
-    pre = preprocess(xyz, scales, quats, opac, cam0, active=gm.active)
+    pre = _preprocess(xyz, scales, quats, opac, cam0, opts, active=gm.active)
     bins = B.bin_gaussians(
         pre, opts.grid, r_max=opts.r_max(xyz.shape[0]),
         max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
@@ -190,6 +235,8 @@ def bin_for_tracking(
     return PairCache(
         raw=rows,
         tile_start=bins.tile_start, tile_stop=bins.tile_stop,
+        num_pairs=bins.num_pairs, overflow=bins.overflow,
+        n_shrunk=bins.n_shrunk,
     )
 
 
@@ -210,9 +257,11 @@ def render_tracking(
     q = quat_normalize(pose_quat)
     quats_cam = lax.stop_gradient(quat_multiply(q[None, :], cache.quats))
     cam_eye = cam_proj.replace_w2c(jnp.eye(4, dtype=jnp.float32))
-    pre = preprocess(xyz_cam, cache.scales, quats_cam, cache.opac, cam_eye)
+    pre = _preprocess(xyz_cam, cache.scales, quats_cam, cache.opac,
+                      cam_eye, opts)
     pattrs = pack_pair_attrs(pre, cache.rgb)
-    return render_pairs(
+    out = render_pairs(
         pattrs, cache.tile_start, cache.tile_stop,
         opts.settings(need_normal=opts.normals_in_tracking),
     )
+    return _method_mask(out, opts)

@@ -12,6 +12,7 @@ objects the jitted step functions key their compile caches on.
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from importlib.machinery import SourceFileLoader
 
@@ -61,6 +62,42 @@ class SystemConfig:
     exp_sched_back: LrSchedule
     adam_betas: tuple
 
+    # pair-budget escalation ladder for max_tiles_per_gaussian
+    DMAX_LADDER = (4, 6, 9, 16)
+
+    def maybe_escalate(self, *, overflow: bool, n_shrunk: int,
+                       n_active: int) -> "SystemConfig | None":
+        """Escalated copy of this config, or None if budgets hold.
+
+        TPU-native replacement for the reference's dynamic binning-buffer
+        resize (rasterizer_impl.cu:283-291): capacities are static per
+        compile, so on pair-budget overflow the budget factor doubles,
+        and when a meaningful fraction of gaussians had their tile rect
+        shrunk to fit d_max, d_max moves up the ladder. Escalations are
+        monotone and bucketed, so at most a handful of recompiles happen
+        over a whole run.
+        """
+        opts = self.opts
+        factor = opts.pair_budget_factor
+        dmax = opts.max_tiles_per_gaussian
+        if overflow and factor < 16:
+            factor *= 2
+        # radius-shrink only trims the outer sigma of oversized splats;
+        # escalate d_max when it stops being a tail phenomenon (>2%)
+        if n_shrunk > max(64, 0.02 * max(n_active, 1)):
+            for step in self.DMAX_LADDER:
+                if step > dmax:
+                    dmax = step
+                    break
+        if (factor, dmax) == (opts.pair_budget_factor,
+                              opts.max_tiles_per_gaussian):
+            return None
+        return dataclasses.replace(
+            self,
+            opts=opts._replace(pair_budget_factor=factor,
+                               max_tiles_per_gaussian=dmax),
+        )
+
     @classmethod
     def from_config(cls, config: dict, backend: str = "pallas"):
         camcfg = config["cameras"]
@@ -70,6 +107,9 @@ class SystemConfig:
         )
         grid = make_grid(cam, 16, 16)
         r = config["render"]
+        method = r.get("method", "2dgs")
+        if method not in ("2dgs", "3dgs"):
+            raise ValueError(f"unknown render method {method!r}")
         opts = RenderOptions(
             grid=grid, use_sa=bool(r.get("use_sa", True)), backend=backend,
             pair_budget_factor=int(config.get("tpu", {}).get(
@@ -78,6 +118,9 @@ class SystemConfig:
                 "max_tiles_per_gaussian", 9)),
             normals_in_tracking=bool(
                 config["loss"].get("use_normal_loss", False)),
+            method=method,
+            iso3d=config["gaussians"].get(
+                "gaussian_distribution", "anisotropic") == "isotropic",
         )
         loss = config["loss"]
         dens = config["densify"]
@@ -115,11 +158,8 @@ class SystemConfig:
             )),
             isotropic=config["gaussians"].get(
                 "gaussian_distribution", "anisotropic") == "isotropic",
+            gs_stats=bool(config["backend"].get("gs_densify", False)),
         )
-        if config["render"].get("method", "2dgs") != "2dgs":
-            raise NotImplementedError(
-                "method='3dgs' (ablation A / splatam rasterizer, reference "
-                "N7) is not implemented in the TPU build yet; use '2dgs'.")
         betas = tuple(camcfg.get("adam_betas", (0.9, 0.99)))
         fe, be = camcfg["frontend_lr"], camcfg["backend_lr"]
         fr = config["frontend"]
