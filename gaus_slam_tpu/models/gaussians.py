@@ -291,6 +291,68 @@ def adam_step(
     )
 
 
+def densify_and_prune(
+    gm: GaussianMap,
+    grad_stat: jnp.ndarray,   # [C] mean view-space gradient stat
+    key: jnp.ndarray,         # PRNG key for the split offsets
+    *,
+    grad_threshold: float,
+    percent_dense: float,
+    extent: float,
+    min_opacity: float,
+    min_scale: float,
+    split_n: int = 2,
+) -> GaussianMap:
+    """3DGS-style clone/split/prune (Gaussians.densify_and_prune,
+    scene/Gaussians.py:532-593; the backend ``gs_densify`` path,
+    Backend.py:117-128).
+
+      clone: small gaussians with large view-space gradients are
+        duplicated in place (new rows, zero Adam moments).
+      split: large ones are replaced by ``split_n`` children sampled
+        from the parent's own distribution with scales / (0.8 * n).
+      prune: low opacity, tiny mean scale, or world-space size above
+        0.1 * extent. (The reference's additional screen-space
+        max_radii2D bound needs per-iteration radius tracking it never
+        re-populates after reset — the world-space bound is the active
+        one; documented deviation.)
+    """
+    scales = jnp.exp(gm.params.log_scales)
+    max_scale = scales.max(axis=-1)
+    hot = (grad_stat >= grad_threshold) & gm.active
+    clone_mask = hot & (max_scale <= percent_dense * extent)
+    split_mask = hot & (max_scale > percent_dense * extent)
+
+    # clone: straight copies with zeroed moments
+    gm = add_params(gm, gm.params, clone_mask)
+
+    # split: children at parent +/- R @ N(0, diag(s0, s1, 0)),
+    # log-scale shrunk by 0.8 * n
+    from ..ops.se3 import quat_to_rotmat
+
+    R = quat_to_rotmat(gm.params.quats[: split_mask.shape[0]])
+    child = gm.params._replace(
+        log_scales=gm.params.log_scales
+        - jnp.log(0.8 * split_n),
+    )
+    for i in range(split_n):
+        k = jax.random.fold_in(key, i)
+        noise = jax.random.normal(k, scales.shape) * scales   # [C, 2]
+        off = (R[..., :, 0] * noise[:, 0:1]
+               + R[..., :, 1] * noise[:, 1:2])
+        gm = add_params(gm, child._replace(xyz=child.xyz + off), split_mask)
+
+    opac = jax.nn.sigmoid(gm.params.opacity_logit[:, 0])
+    scales = jnp.exp(gm.params.log_scales)
+    prune_mask = (
+        (opac < min_opacity)
+        | (scales.mean(axis=-1) < min_scale)
+        | (scales.max(axis=-1) > 0.1 * extent)
+    )
+    # the split parents are removed (Gaussians.py:573-574)
+    return prune(gm, (prune_mask | split_mask) & gm.active)
+
+
 def extract_params(gm: GaussianMap) -> tuple[Params, jnp.ndarray, jnp.ndarray]:
     """Detached snapshot for submap handoff (Gaussians.extract_params)."""
     return (

@@ -65,20 +65,35 @@ def add_new_gaussians(
     valid = valid_depth_mask(gt_depth) & add_mask
 
     cam = cam_proj.replace_w2c(w2c)
-    pts_cam = points_from_depth(gt_depth, cam)
     c2w = invert_se3(w2c)
-    pts_w = transform_points(c2w, pts_cam.reshape(-1, 3)).reshape(pts_cam.shape)
-    normals = normals_from_points(pts_w)
-    scale = depth_scale_init(gt_depth, cam)
 
-    return G.add_gaussians(
-        gm,
-        pts_w.reshape(-1, 3),
-        gt_color.reshape(-1, 3),
-        normals.reshape(-1, 3),
-        scale.reshape(-1),
-        valid=valid.reshape(-1),
-    )
+    def unproject_add(gm, src_depth, valid):
+        pts_cam = points_from_depth(src_depth, cam)
+        pts_w = transform_points(c2w, pts_cam.reshape(-1, 3)) \
+            .reshape(pts_cam.shape)
+        normals = normals_from_points(pts_w)
+        scale = depth_scale_init(src_depth, cam)
+        return G.add_gaussians(
+            gm,
+            pts_w.reshape(-1, 3),
+            gt_color.reshape(-1, 3),
+            normals.reshape(-1, 3),
+            scale.reshape(-1),
+            valid=valid.reshape(-1),
+        )
+
+    gm = unproject_add(gm, gt_depth, valid)
+
+    if dcfg.use_edge_growth:
+        # Edge growth (Densify.py:29-39): pixels with partial alpha
+        # coverage but NO valid gt depth (sensor dropout at geometry
+        # edges) are unprojected from the RENDERED depth instead.
+        edge_mask = (
+            (alpha > dcfg.edge_thres) & (alpha < dcfg.sil_thres)
+            & (gt_depth < 1e-3) & (depth > 1e-3)
+        )
+        gm = unproject_add(gm, depth, edge_mask)
+    return gm
 
 
 @functools.partial(jax.jit, static_argnames=("dcfg",))
