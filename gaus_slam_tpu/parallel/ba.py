@@ -45,28 +45,25 @@ def _ba_loss(params, active, w2c, gt_tiled, cam_proj, opts, lcfg):
     return loss
 
 
-def sharded_ba_step(
-    mesh: Mesh,
-    gm: G.GaussianMap,
-    w2cs: jnp.ndarray,       # [n_dev, 4, 4] one keyframe pose per device
-    gt_tiled: jnp.ndarray,   # [n_dev, T, 4, P]
-    cam_proj: Camera,
-    opts: RenderOptions,
-    mcfg,                    # slam.steps.MapConfig
-    lcfg: LossConfig,
-):
-    """One data-parallel BA step: n_devices keyframes rendered in
-    parallel, map gradients psum'd, one Adam step on the replicated map.
+@functools.lru_cache(maxsize=16)
+def _build_step(mesh: Mesh, opts: RenderOptions, mcfg, lcfg: LossConfig,
+                cam_aux: tuple):
+    """Compile-cached sharded BA step for a (mesh, options) combination.
+
+    Per-device gradients come back SHARDED over the mesh axis and are
+    weight-reduced outside the shard_map (one XLA all-reduce on the
+    sharded stack). No collective runs inside the shard_map body: the
+    Pallas kernels are opaque to the vma (varying-across-mesh) type
+    system, so with check_vma disabled any in-body psum over their
+    outputs is unsound — keeping the body embarrassingly parallel makes
+    check_vma=False correct by construction.
     """
     axis = mesh.axis_names[0]
+    from ..ops.camera import Camera
 
-    # Per-device gradients come back SHARDED over the mesh axis and are
-    # mean-reduced outside the shard_map (one XLA all-reduce on the
-    # sharded stack). No collective runs inside the shard_map body: the
-    # Pallas kernels are opaque to the vma (varying-across-mesh) type
-    # system, so with check_vma disabled any in-body psum over their
-    # outputs is unsound — keeping the body embarrassingly parallel makes
-    # check_vma=False correct by construction.
+    cam_proj = Camera(*cam_aux[:6], jnp.eye(4, dtype=jnp.float32),
+                      *cam_aux[6:])
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis)),
@@ -80,12 +77,41 @@ def sharded_ba_step(
         )
         return jax.tree.map(lambda g: g[None], grads), loss[None]
 
-    @functools.partial(jax.jit, static_argnums=())
-    def step(gm, w2cs, gt_tiled):
+    @jax.jit
+    def step(gm, w2cs, gt_tiled, weights):
         grads_stacked, losses = grad_step(gm.params, gm.active, w2cs,
                                           gt_tiled)
-        grads = jax.tree.map(lambda g: g.mean(axis=0), grads_stacked)
-        return G.adam_step(gm, grads, dict(mcfg.lrs), mcfg.betas,
-                           mcfg.eps), losses.mean()
+        wsum = jnp.maximum(jnp.sum(weights), 1e-9)
 
-    return step(gm, w2cs, gt_tiled)
+        def wmean(g):
+            w = weights.reshape((-1,) + (1,) * (g.ndim - 1))
+            return jnp.sum(g * w, axis=0) / wsum
+
+        grads = jax.tree.map(wmean, grads_stacked)
+        loss = jnp.sum(losses * weights) / wsum
+        return G.adam_step(gm, grads, dict(mcfg.lrs), mcfg.betas,
+                           mcfg.eps), loss
+
+    return step
+
+
+def sharded_ba_step(
+    mesh: Mesh,
+    gm: G.GaussianMap,
+    w2cs: jnp.ndarray,       # [n_dev, 4, 4] one keyframe pose per device
+    gt_tiled: jnp.ndarray,   # [n_dev, T, 4, P]
+    cam_proj: Camera,
+    opts: RenderOptions,
+    mcfg,                    # slam.steps.MapConfig
+    lcfg: LossConfig,
+    weights: jnp.ndarray | None = None,  # [n_dev]; 0 masks padded slots
+):
+    """One data-parallel BA step: n_devices keyframes rendered in
+    parallel, map gradients all-reduced, one Adam step on the replicated
+    map. ``weights`` lets a partially-filled group (fewer live keyframes
+    than devices) contribute an unbiased gradient mean.
+    """
+    if weights is None:
+        weights = jnp.ones((w2cs.shape[0],), jnp.float32)
+    step = _build_step(mesh, opts, mcfg, lcfg, cam_proj._aux())
+    return step(gm, w2cs, gt_tiled, weights)

@@ -42,13 +42,30 @@ def transform_params(params: G.Params, transfer: jnp.ndarray) -> G.Params:
 
 
 class Backend:
-    def __init__(self, config: dict, wandb_run=None, backend: str = "pallas"):
+    def __init__(self, config: dict, wandb_run=None, backend: str = "pallas",
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh. With a multi-device mesh
+        the covis-mapping schedule batches up to n_devices keyframes per
+        step through parallel.sharded_ba_step (keyframes data-parallel,
+        map replicated, gradients all-reduced over ICI) instead of one
+        keyframe at a time — the scale-out of Backend.py:101-155."""
         self.config = config
         self.sys = SystemConfig.from_config(config, backend=backend)
+        self.wandb_run = wandb_run
+        self.mesh = mesh
+        self.ba_group = (int(np.prod(mesh.devices.shape))
+                         if mesh is not None else 1)
         self.rng = random.Random(config.get("seed", 0) + 1)
         be = config["backend"]
         self.num_ba_iters = int(be["num_ba_iters"])
         self.num_covis = int(be["num_covis_submaps"])
+        # 3DGS-style clone/split on the global map (Backend.py:117-128)
+        self.gs_densify = bool(be.get("gs_densify", False))
+        dens = config["densify"]
+        self.densify_interval = int(dens.get("densify_interval", 20))
+        self.mapping_iter = 0
+        self.grad_accum = None  # np [C], lazily sized to map capacity
+        self.grad_denom = None
         self.enable_random = bool(be.get("random_process", True))
         self.final_refinement = int(be.get("final_refinement", -1))
         self.capacity_quantum = int(config.get("tpu", {}).get(
@@ -62,6 +79,28 @@ class Backend:
         self.exposure = init_exposure()  # placeholder when disabled
         self.ape_rec = []
         self.totalpts_rec = []
+        self._last_map_aux = None
+
+    def _check_escalation(self):
+        if self._last_map_aux is None:
+            return
+        diag = jax.device_get({
+            "overflow": self._last_map_aux["overflow"],
+            "n_shrunk": self._last_map_aux["n_shrunk"],
+        })
+        self._last_map_aux = None
+        new = self.sys.maybe_escalate(
+            overflow=bool(diag["overflow"]),
+            n_shrunk=int(diag["n_shrunk"]),
+            n_active=self.map.capacity if self.map is not None else 0,
+        )
+        if new is not None:
+            print(f"[gaus] backend pair budget escalation: "
+                  f"factor {self.sys.opts.pair_budget_factor}->"
+                  f"{new.opts.pair_budget_factor}, d_max "
+                  f"{self.sys.opts.max_tiles_per_gaussian}->"
+                  f"{new.opts.max_tiles_per_gaussian}")
+            self.sys = new
 
     # ------------------------------------------------------------------
     def _fit_capacity(self, needed: int | None = None):
@@ -106,6 +145,8 @@ class Backend:
     def mapping(self, lm_idx: int):
         s = self.sys
         lm: LocalMap = self.local_maps[lm_idx]
+        if not lm.saved_idxs:  # restored across resume: images dropped
+            return {}
         fid = self.rng.choice(lm.saved_idxs)
         frame = lm.frames[fid]
         w2c = lm.get_frame_w2c(fid)
@@ -115,11 +156,45 @@ class Backend:
         )
         self.map = gm
         lm.mapping_times += 1
+        self._last_map_aux = aux
+        if self.gs_densify:
+            self._gs_densify_step(aux)
         return aux
+
+    def _gs_densify_step(self, aux):
+        """Accumulate view-space grad stats; every densify_interval
+        mapping iters run clone/split/prune (Backend.py:117-128)."""
+        cap = self.map.capacity
+        if self.grad_accum is None or self.grad_accum.shape[0] != cap:
+            self.grad_accum = np.zeros(cap, np.float32)
+            self.grad_denom = np.zeros(cap, np.float32)
+        stat = np.asarray(aux["densify_stat"])
+        vis = np.asarray(aux["visible"])
+        self.grad_accum[: stat.shape[0]] += stat
+        self.grad_denom[: vis.shape[0]] += vis
+        self.mapping_iter += 1
+        if (self.mapping_iter + 1) % self.densify_interval == 0:
+            dens = self.config["densify"]
+            grads = self.grad_accum / np.maximum(self.grad_denom, 1.0)
+            self.map = G.densify_and_prune(
+                self.map, jnp.asarray(grads),
+                jax.random.PRNGKey(self.rng.getrandbits(31)),
+                grad_threshold=float(dens["densify_grad_threshold"]),
+                percent_dense=float(dens["percent_dense"]),
+                extent=float(dens.get("extent", 2.0)),
+                min_opacity=float(dens.get("opacity_cuil", 0.05)),
+                min_scale=float(dens.get("scale_cuil", 5e-4)),
+            )
+            self._fit_capacity()
+            # point set changed: stats reset (densification_postfix)
+            self.grad_accum = None
+            self.grad_denom = None
 
     def tracking(self, lm_idx: int, tcfg=None):
         s = self.sys
         lm: LocalMap = self.local_maps[lm_idx]
+        if not lm.saved_idxs:  # restored across resume: images dropped
+            return {}
         fid = self.rng.choice(lm.saved_idxs)
         frame = lm.frames[fid]
         pose, aux = backend_tracking_step(
@@ -144,6 +219,39 @@ class Backend:
         self._fit_capacity()
 
     # ------------------------------------------------------------------
+    def mapping_group(self, lm_idxs: list[int]):
+        """One sharded BA step over a group of keyframes (one per mesh
+        device; partial groups are padded with zero weight)."""
+        from ..parallel import sharded_ba_step
+
+        s = self.sys
+        entries = []
+        for i in lm_idxs:
+            lm: LocalMap = self.local_maps[i]
+            if not lm.saved_idxs:  # restored across resume
+                continue
+            fid = self.rng.choice(lm.saved_idxs)
+            entries.append((lm, fid))
+        if not entries:
+            return {}
+        n_dev = self.ba_group
+        w2cs, gts, wts = [], [], []
+        for k in range(n_dev):
+            lm, fid = entries[k % len(entries)]
+            w2cs.append(jnp.asarray(lm.get_frame_w2c(fid), jnp.float32))
+            gts.append(self._tile_gt(lm.frames[fid]))
+            wts.append(1.0 if k < len(entries) else 0.0)
+        gm, loss = sharded_ba_step(
+            self.mesh, self.map, jnp.stack(w2cs), jnp.stack(gts),
+            s.cam, s.opts, s.mcfg, s.lcfg,
+            weights=jnp.asarray(wts, jnp.float32),
+        )
+        self.map = gm
+        self.ba_group_calls = getattr(self, "ba_group_calls", 0) + 1
+        for lm, _ in entries:
+            lm.mapping_times += 1
+        return {"loss": loss}
+
     def process(self):
         """Drain one task (Backend.process, :174-194)."""
         if not self.task_queue.empty():
@@ -153,8 +261,19 @@ class Backend:
             elif cmd[0] == "tracking":
                 self.tracking(cmd[1])
             elif cmd[0] == "mapping":
-                self.mapping(cmd[1])
+                if self.ba_group > 1 and not self.gs_densify:
+                    # gs_densify needs per-step stats -> sequential path
+                    # batch consecutive mapping tasks onto the mesh
+                    idxs = [cmd[1]]
+                    while (len(idxs) < self.ba_group
+                           and not self.task_queue.empty()
+                           and self.task_queue.queue[0][0] == "mapping"):
+                        idxs.append(self.task_queue.get()[1])
+                    self.mapping_group(idxs)
+                else:
+                    self.mapping(cmd[1])
         elif self.enable_random and len(self.local_maps) > 0:
+            self._check_escalation()  # idle: fold in the last diagnostics
             self.task_queue.put(
                 ("mapping", self.rng.choice(range(len(self.local_maps))))
             )
@@ -226,6 +345,7 @@ class Backend:
             n_tasks = self.task_queue.qsize()
             while not self.task_queue.empty():
                 self.process()
+            self._check_escalation()
             if _os.environ.get("GAUS_PROFILE"):
                 jax.block_until_ready(self.map.params.xyz)
                 dt = _time.perf_counter() - _t0
@@ -233,6 +353,45 @@ class Backend:
                       f"({dt/max(n_tasks,1)*1000:.0f}ms/task) "
                       f"n={int(self.map.n_active)}")
         self.totalpts_rec.append(int(self.map.n_active))
+
+    def update_common_visualization(self):
+        """Per-submap backend dashboards (Backend.py:271-331): aligned
+        APE trajectory plot + point count + per-frame translation error +
+        APE history; populates ape_rec and logs to wandb when enabled.
+        Gated by config['backend']['common_vis'] like the reference."""
+        if not self.config["backend"].get("common_vis", False):
+            return
+        if len(self.local_maps) == 0 or self.local_maps[-1].transform is None:
+            return
+        from ..utils import viz
+        from ..utils.trajectory import ate_rmse
+
+        out_dir = self.config.get("vis_base_dir", "output")
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        w2cs = self.local_maps.get_w2cs()
+        gts = self.local_maps.get_gt_w2cs()
+        keep = [i for i in range(len(gts))
+                if np.isfinite(np.asarray(gts[i])).all()]
+        w2cs = [w2cs[i] for i in keep]
+        gts = [gts[i] for i in keep]
+        if len(w2cs) > 3:
+            ate = ate_rmse(w2cs, gts)["rmse"]
+            self.ape_rec.append(float(ate))
+            viz.save_trajectory_plot(
+                w2cs, gts, os.path.join(out_dir, "evo_2dplot.png"), ate=ate)
+            if self.wandb_run is not None:
+                self.wandb_run.log({"cur_lmid": self.cur_lmid, "APE": ate})
+        viz.save_series(self.totalpts_rec,
+                        os.path.join(out_dir, "backend_numpts.png"))
+        dif = [float(np.linalg.norm(
+            (np.asarray(w) @ np.linalg.inv(np.asarray(g)))[:3, 3]))
+            for w, g in zip(w2cs, gts)]
+        viz.save_series(dif, os.path.join(out_dir, "trackloss.png"))
+        viz.save_series(self.ape_rec, os.path.join(out_dir, "ape.png"))
+        if self.wandb_run is not None:
+            self.wandb_run.log({"backend_numpts": self.totalpts_rec[-1]
+                                if self.totalpts_rec else 0})
 
     def final_refine(self, progress=False):
         """Final refinement over random submaps (Backend.final_refine,

@@ -136,6 +136,22 @@ class Frontend:
         )
         self.mapping()
 
+    def _check_escalation(self, diag: dict):
+        """Bump pair budgets when the binning diagnostics say the static
+        capacities clipped (see SystemConfig.maybe_escalate)."""
+        new = self.sys.maybe_escalate(
+            overflow=bool(diag.get("overflow", False)),
+            n_shrunk=int(diag.get("n_shrunk", 0)),
+            n_active=self.map.capacity if self.map is not None else 0,
+        )
+        if new is not None:
+            print(f"[gaus] pair budget escalation: "
+                  f"factor {self.sys.opts.pair_budget_factor}->"
+                  f"{new.opts.pair_budget_factor}, d_max "
+                  f"{self.sys.opts.max_tiles_per_gaussian}->"
+                  f"{new.opts.max_tiles_per_gaussian}")
+            self.sys = new
+
     def tracking(self, frame: Frame) -> float:
         s = self.sys
         t0 = time.perf_counter()
@@ -150,6 +166,8 @@ class Frontend:
         )
         _sync(pose.quat)
         frame.pose = pose
+        self._check_escalation(jax.device_get(
+            {"overflow": cache.overflow, "n_shrunk": cache.n_shrunk}))
         iters = int(aux["iters"])
         if os.environ.get("GAUS_PROFILE"):
             print(f"[prof] track: bin={t_bin*1000:.0f}ms "
@@ -164,8 +182,10 @@ class Frontend:
         s = self.sys
         frames = frames or self.local_frames
         exp_dummy = init_exposure()
+        t0 = time.perf_counter()
+        n_steps = 0
+        aux = None
         for it in range(self.num_mapping_iters):
-            t0 = time.perf_counter()
             frame: Frame = self.rng.choice(frames)
             exp = frame.exposure if frame.exposure is not None else exp_dummy
             gm, exp, aux = mapping_step(
@@ -177,15 +197,21 @@ class Frontend:
             if frame.exposure is not None:
                 frame.exposure = exp
             frame.mapping_times += 1
+            n_steps += 1
             if (self.additional_densify
                     and (frame.mapping_times + 1) % self.densify_interval == 0):
                 self._densify(frame)
-            _sync(self.map.n_active)
-            dt = time.perf_counter() - t0
-            if os.environ.get("GAUS_PROFILE") and it < 2:
-                print(f"[prof] frontend map iter: {dt*1000:.0f}ms")
-            self.t_map_iter[0] += dt
-            self.t_map_iter[1] += 1
+        # one readback fences the whole (sequentially dependent) loop —
+        # per-iteration syncs serialize dispatch through the device tunnel
+        if aux is not None:
+            self._check_escalation(jax.device_get(
+                {k: aux[k] for k in ("overflow", "n_shrunk") if k in aux}))
+        dt = time.perf_counter() - t0
+        if os.environ.get("GAUS_PROFILE"):
+            print(f"[prof] frontend mapping x{n_steps}: {dt*1000:.0f}ms "
+                  f"({dt/max(n_steps,1)*1000:.0f}ms/iter)")
+        self.t_map_iter[0] += dt
+        self.t_map_iter[1] += n_steps
 
     def _densify(self, frame: Frame, render_out=None):
         s = self.sys
@@ -196,6 +222,9 @@ class Frontend:
             self.map, w2c, frame.gt_color, frame.gt_depth, render_out,
             s.cam, s.opts, s.dcfg, s.lcfg,
         )
+        # the reference prunes INSIDE add_new_gaussians too (Densify.py:41),
+        # in addition to the post-mapping prune in process_frame
+        self.map = prune_gaussians(self.map, s.dcfg)
         self._fit_capacity()
 
     # ------------------------------------------------------------------
@@ -305,6 +334,26 @@ class Frontend:
             )
             self.cur_lmid += 1
             self.to_backend.put(lm)
+
+    # ------------------------------------------------------------------
+    def update_common_visualization(self):
+        """Periodic frontend dashboards (Frontend.py:231-242): local map
+        point count + per-frame depth-L1, plus wandb series when enabled."""
+        from ..utils import viz
+
+        out_dir = self.config.get("vis_base_dir", "output")
+        os.makedirs(out_dir, exist_ok=True)
+        viz.save_series(self.numpts_rec,
+                        os.path.join(out_dir, "frontend_numpts.png"))
+        viz.save_series(self.depth_l1_rec,
+                        os.path.join(out_dir, "depth_l1.png"))
+        if self.wandb_run is not None:
+            self.wandb_run.log({
+                "frontend_numpts": self.numpts_rec[-1] if self.numpts_rec
+                else 0,
+                "depth_l1": self.depth_l1_rec[-1] if self.depth_l1_rec
+                else 0.0,
+            })
 
     # ------------------------------------------------------------------
     def time_stats(self) -> dict:

@@ -82,6 +82,8 @@ class MapConfig(NamedTuple):
     betas: tuple = (0.9, 0.999)
     eps: float = 1e-15
     isotropic: bool = False
+    gs_stats: bool = False      # emit per-gaussian view-space grad stats
+                                # (backend gs_densify, Backend.py:117-128)
 
 
 @functools.partial(
@@ -101,12 +103,15 @@ def mapping_step(
 ):
     """One mapping iteration: render at a fixed pose, map params live
     (Frontend.mapping / Backend.mapping semantics)."""
+    from ..render import bin_full
+
     cam = cam_proj.replace_w2c(lax.stop_gradient(w2c))
+    bins = bin_full(gm.params, gm.active, cam, opts)
 
     def loss_fn(params, gain, bias):
         exp = exposure._replace(gain=gain, bias=bias) \
             if lcfg.enable_exposure else None
-        out, _ = render_full(params, gm.active, cam, opts)
+        out, _ = render_full(params, gm.active, cam, opts, bins=bins)
         loss, aux = mapping_loss(out, gt_tiled, lcfg, exposure=exp)
         return loss, aux
 
@@ -115,6 +120,27 @@ def mapping_step(
     )(gm.params, exposure.gain, exposure.bias)
     g_params, g_gain, g_bias = grads
 
+    diag = {"num_pairs": bins.num_pairs, "overflow": bins.overflow,
+            "n_shrunk": bins.n_shrunk}
+    if mcfg.gs_stats:
+        # view-space positional gradient stat for clone/split selection
+        # (reference add_densification_stats, Gaussians.py:58-62; the
+        # means2D grad of backward.cu:660-663). We recover the screen
+        # gradient from the world xyz gradient through the projection
+        # Jacobian inverse (z/f), in the reference's NDC scaling (W/2) —
+        # a documented proxy: the z-coupled term is ignored.
+        w2c_sg = lax.stop_gradient(w2c)
+        g_cam = g_params.xyz @ w2c_sg[:3, :3].T
+        z = jnp.maximum(
+            (lax.stop_gradient(gm.params.xyz) @ w2c_sg[:3, :3].T
+             + w2c_sg[:3, 3])[:, 2], 1e-6)
+        gu = g_cam[:, 0] * z / cam_proj.fx * (cam_proj.width / 2.0)
+        gv = g_cam[:, 1] * z / cam_proj.fy * (cam_proj.height / 2.0)
+        visible = bins.counts > 0
+        diag["densify_stat"] = jnp.where(
+            visible, jnp.sqrt(gu * gu + gv * gv), 0.0)
+        diag["visible"] = visible
+
     gm = G.adam_step(gm, g_params, dict(mcfg.lrs), mcfg.betas, mcfg.eps,
                      isotropic=mcfg.isotropic)
     if lcfg.enable_exposure:
@@ -122,7 +148,7 @@ def mapping_step(
         exposure = jax.tree.map(
             lambda a, b: jnp.where(do_exposure, a, b), stepped, exposure
         )
-    return gm, exposure, {"loss": loss, **aux}
+    return gm, exposure, {"loss": loss, **aux, **diag}
 
 
 @functools.partial(

@@ -14,6 +14,10 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
+import jax
+
 from ..models import gaussians as G
 from ..ops.composite_ref import tiles_to_image
 from ..render import RenderOptions, render_view
@@ -21,6 +25,32 @@ from ..slam.loss import LossConfig, normalized_depth
 from ..utils.config import SystemConfig
 from .image_metrics import lpips, ms_ssim, psnr
 from .trajectory import ate_rmse
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "lcfg", "want_img"))
+def _eval_frame(gm, w2c, gt_color, gt_depth, cam_proj, opts, lcfg,
+                want_img: bool):
+    """One frame's render + metrics as a single compiled program — the
+    host-driven per-op version pays ~1ms tunnel dispatch per op, which
+    is minutes of pure dispatch on a 2000-frame trajectory."""
+    out = render_view(gm, cam_proj.replace_w2c(w2c), opts)
+    h, w = cam_proj.height, cam_proj.width
+    img = tiles_to_image(
+        jnp.concatenate(
+            [out[:, 0:3], normalized_depth(out, lcfg)[:, None]], axis=1
+        ),
+        opts.grid, h, w,
+    )
+    rgb = jnp.clip(img[:3].transpose(1, 2, 0), 0.0, 1.0)
+    rdepth = img[3]
+    valid = gt_depth > 0
+    p = psnr(rgb, gt_color, mask=valid)
+    s = ms_ssim(rgb, gt_color)
+    diff = jnp.where(valid, rdepth - gt_depth, 0.0)
+    nv = jnp.maximum(jnp.sum(valid), 1)
+    rmse = jnp.sqrt(jnp.sum(diff**2) / nv)
+    l1 = jnp.sum(jnp.abs(diff)) / nv
+    return (p, s, rmse, l1, rgb if want_img else None)
 
 
 def eval_final(
@@ -41,45 +71,52 @@ def eval_final(
 
     ate = ate_rmse(w2cs, gt_w2cs)
 
+    from .image_metrics import _lpips_model
+
+    want_img = bool(save_renders) or _lpips_model() is not None
     psnrs, ssims, lpipss, rmses, l1s = [], [], [], [], []
     n = min(len(w2cs), len(dataset))
+    pending = []  # (frame_idx, device tuple, gt_color np) — async pipeline
+
+    def drain(entry):
+        i, vals, gt_np = entry
+        p, s, rmse, l1, rgb = jax.device_get(vals)
+        psnrs.append(float(p))
+        ssims.append(float(s))
+        rmses.append(float(rmse))
+        l1s.append(float(l1))
+        if rgb is not None:
+            lpipss.append(lpips(np.asarray(rgb), gt_np))
+            if save_renders:
+                rd = os.path.join(out_dir, "renders")
+                os.makedirs(rd, exist_ok=True)
+                np.save(os.path.join(rd, f"{i:05d}.npy"), np.asarray(rgb))
+        else:
+            lpipss.append(float("nan"))
+
     for i in range(0, n, stride):
         color, depth, _, _ = dataset[i]
-        gt_color = jnp.asarray(color, jnp.float32) / 255.0
-        gt_depth = jnp.asarray(depth, jnp.float32)
+        gt_np = np.asarray(color, np.float32) / 255.0
+        gt_depth = np.asarray(depth, np.float32)
         if gt_depth.ndim == 3:
             gt_depth = gt_depth[..., 0]
-        out = render_view(
-            gm, cam.replace_w2c(jnp.asarray(w2cs[i], jnp.float32)), opts
+        vals = _eval_frame(
+            gm, jnp.asarray(w2cs[i], jnp.float32), jnp.asarray(gt_np),
+            jnp.asarray(gt_depth), cam, opts, lcfg, want_img,
         )
-        h, w = cam.height, cam.width
-        img = tiles_to_image(
-            jnp.concatenate(
-                [out[:, 0:3], normalized_depth(out, lcfg)[:, None]], axis=1
-            ),
-            opts.grid, h, w,
-        )
-        rgb = jnp.clip(img[:3].transpose(1, 2, 0), 0.0, 1.0)
-        rdepth = img[3]
-
-        valid = gt_depth > 0
-        psnrs.append(float(psnr(rgb, gt_color, mask=valid)))
-        ssims.append(float(ms_ssim(rgb, gt_color)))
-        lpipss.append(lpips(np.asarray(rgb), np.asarray(gt_color)))
-        diff = np.asarray(jnp.where(valid, rdepth - gt_depth, 0.0))
-        nv = max(int(np.asarray(valid).sum()), 1)
-        rmses.append(float(np.sqrt((diff**2).sum() / nv)))
-        l1s.append(float(np.abs(diff).sum() / nv))
-
-        if save_renders:
-            rd = os.path.join(out_dir, "renders")
-            os.makedirs(rd, exist_ok=True)
-            np.save(os.path.join(rd, f"{i:05d}.npy"), np.asarray(rgb))
+        pending.append((i, vals, gt_np))
+        if len(pending) > 3:  # keep a few frames in flight
+            drain(pending.pop(0))
+    for entry in pending:
+        drain(entry)
 
     result = {
         "PSNR": float(np.mean(psnrs)),
         "MS-SSIM": float(np.mean(ssims)),
         "LPIPS": float(np.nanmean(lpipss)) if lpipss else float("nan"),
+        **({} if lpipss and np.isfinite(np.nanmean(lpipss)) else {
+            "lpips_note": "no weights found; export with "
+            "tools/export_lpips_weights.py and set $LPIPS_WEIGHTS"}),
         "Depth RMSE": float(np.mean(rmses)),
         "Depth L1": float(np.mean(l1s)),
         "ATE RMSE": ate["rmse"],

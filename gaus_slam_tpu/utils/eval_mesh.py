@@ -100,16 +100,159 @@ def fuse_render_mesh(config, gm, w2cs, out_dir=None, backend="pallas",
     return verts, cols, tris
 
 
+def sample_mesh_points(verts: np.ndarray, tris: np.ndarray, n: int,
+                       seed: int = 0) -> np.ndarray:
+    """Area-weighted uniform surface sampling (trimesh.sample analogue)."""
+    rng = np.random.default_rng(seed)
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    p = area / max(area.sum(), 1e-12)
+    idx = rng.choice(len(tris), n, p=p)
+    u = rng.random(n)
+    v = rng.random(n)
+    flip = u + v > 1
+    u[flip], v[flip] = 1 - u[flip], 1 - v[flip]
+    return (v0[idx] + u[:, None] * (v1[idx] - v0[idx])
+            + v[:, None] * (v2[idx] - v0[idx]))
+
+
+def splat_depth(points: np.ndarray, w2c: np.ndarray, h: int, w: int,
+                fx: float, fy: float, cx: float, cy: float,
+                z_far: float = 20.0) -> np.ndarray:
+    """Z-buffer depth map from a dense surface point sample (the native
+    replacement for the Open3D mesh depth capture in the reference's
+    calc_2d_metric, eval_mesh.py:97-199). Pixels with no sample are 0."""
+    pc = points @ w2c[:3, :3].T + w2c[:3, 3]
+    z = pc[:, 2]
+    m = (z > 0.05) & (z < z_far)
+    pc, z = pc[m], z[m]
+    u = np.round(pc[:, 0] / z * fx + cx).astype(np.int64)
+    v = np.round(pc[:, 1] / z * fy + cy).astype(np.int64)
+    m = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    u, v, z = u[m], v[m], z[m]
+    depth = np.full(h * w, np.inf, np.float32)
+    np.minimum.at(depth, v * w + u, z.astype(np.float32))
+    depth[~np.isfinite(depth)] = 0.0
+    return depth.reshape(h, w)
+
+
+def _oriented_bounds(verts: np.ndarray):
+    """PCA oriented bounding box: (extents, to_world 4x4) — the
+    trimesh.bounds.oriented_bounds analogue used for view sampling."""
+    mu = verts.mean(0)
+    c = np.cov((verts - mu).T)
+    evals, evecs = np.linalg.eigh(c)
+    R = evecs[:, ::-1]  # largest extent first
+    if np.linalg.det(R) < 0:
+        R[:, 2] *= -1
+    local = (verts - mu) @ R
+    lo, hi = local.min(0), local.max(0)
+    extents = hi - lo
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = mu + R @ ((lo + hi) / 2)
+    return extents, T
+
+
+def _viewmatrix(lookdir, up, pos):
+    z = lookdir / max(np.linalg.norm(lookdir), 1e-12)
+    x = np.cross(up, z)
+    x = x / max(np.linalg.norm(x), 1e-12)
+    y = np.cross(z, x)
+    m = np.eye(4)
+    m[:3, :3] = np.stack([x, y, z], 1)
+    m[:3, 3] = pos
+    return m
+
+
+def check_proj(points, w, h, fx, fy, cx, cy, c2w) -> bool:
+    """True if any point projects inside the view (eval_mesh.py:38-75;
+    the reference's NICE-SLAM-convention axis flips cancel for the
+    inside-image test, which is what the rejection sampling uses)."""
+    w2c = np.linalg.inv(c2w)
+    pc = points @ w2c[:3, :3].T + w2c[:3, 3]
+    z = pc[:, 2]
+    m = z > 1e-5
+    if not m.any():
+        return False
+    u = pc[m, 0] / z[m] * fx + cx
+    v = pc[m, 1] / z[m] * fy + cy
+    return bool(((u > 0) & (u < w) & (v > 0) & (v < h)).any())
+
+
+def calc_2d_metric(rec_mesh, gt_mesh, unseen_pc: np.ndarray,
+                   align: bool = True, n_imgs: int = 1000,
+                   samples_per_mesh: int = 2_000_000, seed: int = 0):
+    """Unseen-region-excluded depth-L1 between meshes
+    (reference eval_mesh.calc_2d_metric, :97-199): sample random views
+    inside the gt room volume, reject any view that sees the unseen-gt
+    pointcloud, depth-render both meshes and take L1 where the
+    reconstruction has coverage. Returns {'depth l1': cm}.
+
+    rec_mesh / gt_mesh: (verts [N,3], tris [M,3]) tuples.
+    """
+    H = W = 500
+    focal = 300.0
+    cx = cy = H / 2.0 - 0.5
+    rng = np.random.default_rng(seed)
+
+    rec_v, rec_t = rec_mesh
+    gt_v, gt_t = gt_mesh
+    if align and len(rec_v) > 100:
+        T = icp_align(rec_v, gt_v)
+        rec_v = (T[:3, :3] @ rec_v.T).T + T[:3, 3]
+
+    gt_pts = sample_mesh_points(gt_v, gt_t, samples_per_mesh, seed=seed)
+    rec_pts = sample_mesh_points(rec_v, rec_t, samples_per_mesh,
+                                 seed=seed + 1)
+    extents, to_world = _oriented_bounds(gt_v)
+    extents = extents * np.array([0.3, 0.7, 0.7])
+    to_world = to_world.copy()
+    to_world[2, 3] += 0.4
+
+    errors = []
+    for _ in range(n_imgs):
+        for _attempt in range(100):
+            local = (rng.random(3) - 0.5) * extents
+            origin = to_world[:3, :3] @ local + to_world[:3, 3]
+            target = rng.uniform(-1, 1, 3)
+            c2w = _viewmatrix(target, np.array([0.0, 0.0, -1.0]), origin)
+            if not check_proj(unseen_pc, W, H, focal, focal, cx, cy, c2w):
+                break
+        else:
+            continue
+        w2c = np.linalg.inv(c2w)
+        gt_d = splat_depth(gt_pts, w2c, H, W, focal, focal, cx, cy)
+        rec_d = splat_depth(rec_pts, w2c, H, W, focal, focal, cx, cy)
+        m = (rec_d > 0) & (gt_d > 0)
+        if m.sum() > 0:
+            errors.append(float(np.abs(gt_d[m] - rec_d[m]).mean()))
+    if not errors:
+        return {"depth l1": None}
+    return {"depth l1": float(np.mean(errors) * 100.0)}
+
+
 def evaluate_reconstruction(config, gm, w2cs, gt_points, out_dir=None,
                             backend="pallas", threshold=0.01,
-                            mesh_interval=5, voxel_size=0.01):
-    """Full mesh-eval pass -> reconstruction_metrics.json contract."""
+                            mesh_interval=5, voxel_size=0.01,
+                            gt_mesh=None, unseen_pc=None, n_imgs=1000):
+    """Full mesh-eval pass -> reconstruction_metrics.json contract
+    (F-score/precision/recall + unseen-excluded depth-L1 when the gt
+    mesh and unseen pointcloud assets are available)."""
     verts, cols, tris = fuse_render_mesh(
         config, gm, w2cs, out_dir=out_dir, backend=backend,
         mesh_interval=mesh_interval, voxel_size=voxel_size,
     )
     metrics = fscore(verts, np.asarray(gt_points), threshold=threshold)
     metrics["num_vertices"] = int(len(verts))
+    if gt_mesh is not None and unseen_pc is not None:
+        try:
+            metrics.update(calc_2d_metric(
+                (verts, tris), gt_mesh, np.asarray(unseen_pc),
+                n_imgs=n_imgs))
+        except Exception as e:  # noqa: BLE001 (parity: ref wraps in try)
+            print(f"calc_2d_metric failed: {e}")
+            metrics["depth l1"] = None
     if out_dir:
         with open(os.path.join(out_dir, "reconstruction_metrics.json"),
                   "w") as f:

@@ -37,7 +37,11 @@ def load_lpips(path: str | None = None):
         """x, y: [H, W, 3] in 0..1 -> LPIPS distance."""
 
         def feats(img):
-            h = (jnp.asarray(img, jnp.float32) * 2 - 1 - _SHIFT) / _SCALE
+            # NOTE: no [0,1] -> [-1,1] rescale. The reference feeds
+            # clamp(img, 0, 1) into lpips with normalize=False
+            # (utils/eval.py:409), so the scaling layer sees raw [0,1];
+            # parity requires reproducing that quirk.
+            h = (jnp.asarray(img, jnp.float32) - _SHIFT) / _SCALE
             h = h.transpose(2, 0, 1)[None]
             outs = []
             for i, (oc, k, s, p) in enumerate(_ALEX_CFG):

@@ -58,33 +58,13 @@ def save_trajectory_plot(est_w2cs, gt_w2cs, path, ate=None):
 
 
 def write_dashboards(frontend, backend, out_dir):
-    """All the periodic pngs the reference emits."""
+    """All the periodic pngs the reference emits (one-shot form of the
+    per-stage update_common_visualization methods)."""
+    del out_dir  # each stage writes under its own config vis_base_dir
     if frontend is not None:
-        save_series(frontend.numpts_rec,
-                    os.path.join(out_dir, "frontend_numpts.png"))
-        save_series(frontend.depth_l1_rec,
-                    os.path.join(out_dir, "depth_l1.png"))
-    if backend is not None and backend.local_maps:
-        save_series(backend.totalpts_rec,
-                    os.path.join(out_dir, "backend_numpts.png"))
-        if backend.ape_rec:
-            save_series(backend.ape_rec, os.path.join(out_dir, "ape.png"))
-        try:
-            w2cs = backend.local_maps.get_w2cs()
-            gts = backend.local_maps.get_gt_w2cs()
-            from .trajectory import ate_rmse
-
-            ate = ate_rmse(w2cs, gts)["rmse"]
-            backend.ape_rec.append(ate)
-            save_trajectory_plot(w2cs, gts,
-                                 os.path.join(out_dir, "evo_2dplot.png"),
-                                 ate=ate)
-            dif = [float(np.linalg.norm(
-                (np.asarray(w) @ np.linalg.inv(np.asarray(g)))[:3, 3]))
-                for w, g in zip(w2cs, gts)]
-            save_series(dif, os.path.join(out_dir, "trackloss.png"))
-        except Exception:
-            pass
+        frontend.update_common_visualization()
+    if backend is not None:
+        backend.update_common_visualization()
 
 
 def frames_to_video(frames, path, fps=30):

@@ -27,10 +27,29 @@ def seed_everything(seed: int):
     np.random.seed(seed)
 
 
-def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
+def make_wandb_run(config: dict):
+    """wandb init (reference scripts/gaus.py:31-43); returns None when
+    disabled or the package is unavailable."""
+    if not config.get("use_wandb", False):
+        return None
+    try:
+        import wandb
+
+        wcfg = config.get("wandb", {})
+        return wandb.init(project=wcfg.get("project_name", "gaus_slam_tpu"),
+                          name=wcfg.get("name"), config=config)
+    except Exception as e:  # noqa: BLE001
+        print(f"wandb disabled ({e})")
+        return None
+
+
+def rgbd_slam(config: dict, backend: str = "pallas",
+              resume_from: str | None = None) -> dict:
     from gaus_slam_tpu.data import get_dataset
     from gaus_slam_tpu.slam.backend import Backend
     from gaus_slam_tpu.slam.frontend import Frontend
+    from gaus_slam_tpu.utils.checkpoint import (restore_run_state,
+                                                save_run_state)
     from gaus_slam_tpu.utils.config import probe_cameras
     from gaus_slam_tpu.utils.eval import eval_final
     from gaus_slam_tpu.utils.scene_io import save_scene
@@ -44,19 +63,39 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
     color0, depth0, intrinsics, _ = dataset[0]
     probe_cameras(config, color0, intrinsics)
 
+    wandb_run = make_wandb_run(config)
     to_backend = queue.Queue()
-    frontend = Frontend(config, to_backend, backend=backend)
-    backend_ = Backend(config, backend=backend)
+    frontend = Frontend(config, to_backend, wandb_run=wandb_run,
+                        backend=backend)
+    backend_ = Backend(config, wandb_run=wandb_run, backend=backend)
+
+    out_dir = config.get("vis_base_dir", "output")
+    save_ckpt = bool(config.get("backend", {}).get("save_ckpt", False))
+    t0_frame = 0
+    if resume_from is not None:
+        t0_frame = restore_run_state(resume_from, frontend, backend_,
+                                     dataset)
+        print(f"resumed from {resume_from} at frame {t0_frame}")
 
     t_start = time.perf_counter()
-    for t in range(num_frames):
+    for t in range(t0_frame, num_frames):
         color, depth, _, c2w = dataset[t]
         depth = np.asarray(depth)
         if depth.ndim == 3:
             depth = depth[..., 0]
         frontend.process_frame(t, np.asarray(color) / 255.0, depth, c2w)
+        submap_done = False
         while not to_backend.empty():
             backend_.process_localmap(to_backend.get(), multi_process=False)
+            submap_done = True
+        if submap_done:
+            # per-submap dashboards + resumable checkpoint
+            # (reference gaus.py:92-95 + Backend.py:271-331)
+            backend_.update_common_visualization()
+            frontend.update_common_visualization()
+            if save_ckpt:
+                save_run_state(os.path.join(out_dir, "ckpt"), frontend,
+                               backend_, next_frame_idx=t + 1)
         if t % 25 == 0:
             print(f"frame {t}/{num_frames} "
                   f"pts={int(frontend.map.n_active)} "
@@ -72,7 +111,6 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
 
     w2cs = backend_.local_maps.get_w2cs()
     gt_w2cs = backend_.local_maps.get_gt_w2cs()
-    out_dir = config.get("vis_base_dir", "output")
     result = eval_final(config, backend_.map, w2cs, gt_w2cs, dataset,
                         out_dir=out_dir, backend=backend,
                         save_renders=config.get("eval", {}).get(
@@ -80,6 +118,9 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
     print(json.dumps(result, indent=2) if (json := __import__("json")) else "")
     save_scene(config, backend_.map, w2cs, gt_w2cs,
                os.path.join(out_dir, "scene"))
+    if wandb_run is not None:
+        wandb_run.log(result)
+        wandb_run.finish()
     return result
 
 
@@ -87,9 +128,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a mid-run checkpoint dir")
     args = ap.parse_args()
 
     from gaus_slam_tpu.utils.config import load_config
 
     config = load_config(args.config)
-    rgbd_slam(config, backend=args.backend)
+    rgbd_slam(config, backend=args.backend, resume_from=args.resume)

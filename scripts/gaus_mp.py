@@ -48,7 +48,7 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
     from gaus_slam_tpu.utils.config import probe_cameras
     from gaus_slam_tpu.utils.eval import eval_final
     from gaus_slam_tpu.utils.scene_io import save_scene
-    from scripts.gaus import seed_everything
+    from scripts.gaus import make_wandb_run, seed_everything
 
     seed_everything(config.get("seed", 0))
     dataset = get_dataset(config["data"])
@@ -61,8 +61,10 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
     data_flow: queue.Queue = queue.Queue()
     to_backend: queue.Queue = queue.Queue()
     stop_event = threading.Event()
-    frontend = Frontend(config, to_backend, backend=backend)
-    backend_ = Backend(config, backend=backend)
+    wandb_run = make_wandb_run(config)
+    frontend = Frontend(config, to_backend, wandb_run=wandb_run,
+                        backend=backend)
+    backend_ = Backend(config, wandb_run=wandb_run, backend=backend)
     sleep_time = float(config["backend"].get("sleep_time", 0.01))
 
     feeder = threading.Thread(
@@ -84,9 +86,13 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
             else:
                 t, color, depth, c2w = msg
                 frontend.process_frame(t, color, depth, c2w)
+                if t % 10 == 0:
+                    # reference mp_Frontend.run:277-278
+                    frontend.update_common_visualization()
         # backend: absorb submaps + drain a few tasks per turn
         if not to_backend.empty():
             backend_.process_localmap(to_backend.get(), multi_process=True)
+            backend_.update_common_visualization()  # Backend.py:366
         for _ in range(4):
             backend_.process()
         if sleep_time:

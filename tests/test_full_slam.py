@@ -22,6 +22,8 @@ def test_full_slam_synthetic(tmp_path):
                      "configs", "synthetic", "config.py")
     )
     config["vis_base_dir"] = str(tmp_path)
+    config["backend"]["common_vis"] = True   # dashboards (Backend.py:271)
+    config["backend"]["save_ckpt"] = True    # mid-run checkpointing
     result = rgbd_slam(config, backend="interpret")
 
     assert result["ATE RMSE"] < 0.05, result
@@ -34,9 +36,28 @@ def test_full_slam_synthetic(tmp_path):
     assert (tmp_path / "scene" / "gaussians.ply").exists()
     assert (tmp_path / "scene" / "w2cs.npz.npy").exists()
 
+    # observability: the per-submap dashboards were written
+    for png in ("frontend_numpts.png", "depth_l1.png",
+                "backend_numpts.png", "evo_2dplot.png", "trackloss.png",
+                "ape.png"):
+        assert (tmp_path / png).exists(), png
+
     # scene checkpoint round-trips
     from gaus_slam_tpu.utils.scene_io import load_scene
 
     cfg2, gm2, w2cs, gt = load_scene(str(tmp_path / "scene"))
     assert int(gm2.n_active) == result["num_gaussians"]
     assert w2cs.shape[0] == 12
+
+    # mid-run checkpoint resumes: rerun the tail of the trajectory from
+    # the last submap boundary and get a full-length, sane result
+    assert (tmp_path / "ckpt" / "meta.json").exists()
+    config2 = load_config(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "configs", "synthetic", "config.py")
+    )
+    config2["vis_base_dir"] = str(tmp_path / "resumed")
+    result2 = rgbd_slam(config2, backend="interpret",
+                        resume_from=str(tmp_path / "ckpt"))
+    assert np.isfinite(result2["ATE RMSE"]) and result2["ATE RMSE"] < 0.1
+    assert np.isfinite(result2["PSNR"])
