@@ -237,7 +237,7 @@ def _kernel_stash(start_ref, stop_ref, soff_ref, attrs_ref, out_ref,
     def _():
         dma(k_exit, lax.rem(k_exit, 2)).wait()
 
-    kexit_ref[:, :] = jnp.full((1, 128), k_exit, jnp.int32)
+    kexit_ref[0] = jnp.full((8, 128), k_exit, jnp.int32)
     out_ref[0] = finalize(state, jnp.zeros((3,), jnp.float32), use_sa=use_sa)
 
 
@@ -295,7 +295,10 @@ def raster_forward_stash(
             pl.BlockSpec((1, OUT_C, P), lambda t, s1, s2, s3: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 128), lambda t, s1, s2, s3: (t, 0),
+            # (1, 8, 128) block: TPU lowering needs the last two block
+            # dims divisible by (8, 128); a [T] scalar per tile is
+            # broadcast into an 8x128 block and sliced on the way out
+            pl.BlockSpec((1, 8, 128), lambda t, s1, s2, s3: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -314,8 +317,8 @@ def raster_forward_stash(
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, OUT_C, P), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((S, STASH_C, P), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((n_tiles, 128), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32, vma=vma),
         ),
         interpret=interpret,
     )(tile_start, tile_stop, soff, pair_attrs)
-    return out, stash, kexit[:, 0]
+    return out, stash, kexit[:, 0, 0]
