@@ -114,14 +114,19 @@ class Binning(NamedTuple):
             (keys, jnp.arange(r, dtype=jnp.int32)), num_keys=1
         )
         grads_sorted = jnp.where(self.pair_ok[:, None], pair_grads, 0.0)[perm]
-        # suffix-sum each run into its LAST row
+        # segmented inclusive scan (Hillis-Steele doubling): each run's
+        # LAST row ends with the run total in ceil(log2(d_max)) passes.
+        # key[i-s] == key[i] implies rows (i-s, i] share the run (sorted),
+        # so adding acc[i-s] extends row i's partial sum by s more rows.
         acc = grads_sorted
-        for s in range(1, d_max):
-            shifted = jnp.pad(grads_sorted, ((s, 0), (0, 0)))[:r]
+        s = 1
+        while s < d_max:
+            shifted = jnp.pad(acc, ((s, 0), (0, 0)))[:r]
             kshift = jnp.pad(keys_sorted, (s, 0), constant_values=-1)[:r]
             acc = acc + jnp.where(
                 (kshift == keys_sorted)[:, None], shifted, 0.0
             )
+            s *= 2
         pos = jnp.cumsum(self.counts) - 1
         out = acc[jnp.clip(pos, 0, r - 1)]
         return jnp.where((self.counts > 0)[:, None], out, 0.0)

@@ -106,13 +106,14 @@ def _stash_from_state(s: PixelState):
     )
 
 
-def _kernel(start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref, dattrs_ref,
-            abuf, asem, stash, gbuf, gsem, *, grid: TileGrid, use_sa: bool,
-            need_normal: bool):
+def _kernel(ids_ref, start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref,
+            dattrs_ref, abuf, asem, stash, gbuf, gsem, *, grid: TileGrid,
+            use_sa: bool, need_normal: bool):
     del zeros_ref  # aliased with dattrs_ref; reads/writes go through the output
-    t = pl.program_id(0)
-    start = start_ref[t]
-    stop = stop_ref[t]
+    i_sub = pl.program_id(0)
+    t = ids_ref[i_sub]
+    start = start_ref[i_sub]
+    stop = stop_ref[i_sub]
     blk0 = start // CHUNK
     nblk = jnp.where(stop > start, pl.cdiv(stop, CHUNK) - blk0, 0)
     nblk = jnp.minimum(nblk, MAX_CHUNKS_PER_TILE)
@@ -164,7 +165,7 @@ def _kernel(start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref, dattrs_ref,
     k_count, _ = lax.while_loop(cond, body, (jnp.int32(0), state0))
 
     # ---- Phase B: reverse sweep with in-kernel vjp ----
-    d0 = dstate0_ref[0]  # [OUT_C, P]
+    d0 = dstate0_ref[0]  # [OUT_C, P] (block-indexed by i_sub)
     d_state0 = PixelState(*(d0[i : i + 1] for i in range(len(PixelState._fields))))
 
     def bwd_body(i, d_state):
@@ -197,19 +198,20 @@ def _kernel(start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref, dattrs_ref,
     lax.fori_loop(0, k_count, bwd_body, d_state0)
 
 
-def _kernel_stashed(start_ref, stop_ref, soff_ref, kexit_ref, attrs_ref,
-                    dstate0_ref, stash_ref, zeros_ref, dattrs_ref,
+def _kernel_stashed(ids_ref, start_ref, stop_ref, soff_ref, kexit_ref,
+                    attrs_ref, dstate0_ref, stash_ref, zeros_ref, dattrs_ref,
                     abuf, asem, srow, ssem, gbuf, gsem, *, grid: TileGrid,
                     use_sa: bool, need_normal: bool):
     """Reverse sweep only: chunk carries come from the forward's stash
     (raster_forward_stash), so the per-tile re-forward (Phase A) and its
     attr DMAs + compositing work disappear (~1/3 of the old backward)."""
     del zeros_ref
-    t = pl.program_id(0)
-    start = start_ref[t]
-    stop = stop_ref[t]
-    soff = soff_ref[t]
-    k_count = kexit_ref[t]
+    i_sub = pl.program_id(0)
+    t = ids_ref[i_sub]
+    start = start_ref[i_sub]
+    stop = stop_ref[i_sub]
+    soff = soff_ref[i_sub]
+    k_count = kexit_ref[i_sub]
     blk0 = start // CHUNK
 
     P = grid.pixels_per_tile
@@ -280,24 +282,27 @@ def raster_backward_stash(
     use_sa: bool = True,
     need_normal: bool = True,
     interpret: bool = False,
+    tile_ids: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     from .pallas_forward import _vma_of, stash_offsets
 
     c, r = pair_attrs.shape
     assert c == ATTR_C and r % CHUNK == 0
-    n_tiles = grid.num_tiles
+    if tile_ids is None:
+        tile_ids = jnp.arange(grid.num_tiles, dtype=jnp.int32)
+    n_sub = tile_ids.shape[0]
     P = grid.pixels_per_tile
     bg = jnp.zeros((3,), jnp.float32)
     dstate0 = finalize_cotangents(saved_out, d_out, bg, use_sa=use_sa)
     soff = stash_offsets(tile_start, tile_stop)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_tiles,),
+        num_scalar_prefetch=5,
+        grid=(n_sub,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # pair attrs
             pl.BlockSpec(
-                (1, OUT_C, P), lambda t, s1, s2, s3, s4: (t, 0, 0),
+                (1, OUT_C, P), lambda t, s1, s2, s3, s4, s5: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),   # stash
@@ -323,9 +328,10 @@ def raster_backward_stash(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={7: 0},  # zeros input (4 prefetch + 3) -> out
+        input_output_aliases={8: 0},  # zeros input (5 prefetch + 3) -> out
         interpret=interpret,
-    )(tile_start, tile_stop, soff, kexit, pair_attrs, dstate0, stash, zeros)
+    )(tile_ids, tile_start, tile_stop, soff, kexit, pair_attrs, dstate0,
+      stash, zeros)
 
 
 @functools.partial(
@@ -346,18 +352,19 @@ def raster_backward(
     """Per-pair attribute gradients [ATTR_C, R]."""
     c, r = pair_attrs.shape
     assert c == ATTR_C and r % CHUNK == 0
+    tile_ids = jnp.arange(grid.num_tiles, dtype=jnp.int32)
     n_tiles = grid.num_tiles
     P = grid.pixels_per_tile
     bg = jnp.zeros((3,), jnp.float32)
     dstate0 = finalize_cotangents(saved_out, d_out, bg, use_sa=use_sa)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, OUT_C, P), lambda t, s1, s2: (t, 0, 0),
+                (1, OUT_C, P), lambda t, s1, s2, s3: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # zeros -> aliased output
@@ -383,6 +390,6 @@ def raster_backward(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={4: 0},  # zeros input (arg idx incl. 2 prefetch) -> output
+        input_output_aliases={5: 0},  # zeros input (arg idx incl. 3 prefetch) -> output
         interpret=interpret,
-    )(tile_start, tile_stop, pair_attrs, dstate0, zeros)
+    )(tile_ids, tile_start, tile_stop, pair_attrs, dstate0, zeros)

@@ -29,11 +29,12 @@ from .compositing import (ATTR_C, OUT_C, PixelState, composite_chunk,
 CHUNK = 128
 
 
-def _kernel(start_ref, stop_ref, attrs_ref, out_ref, abuf, sem, *, grid: TileGrid,
-            use_sa: bool, need_normal: bool):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    stop = stop_ref[t]
+def _kernel(ids_ref, start_ref, stop_ref, attrs_ref, out_ref, abuf, sem, *,
+            grid: TileGrid, use_sa: bool, need_normal: bool):
+    i = pl.program_id(0)
+    t = ids_ref[i]           # image-tile id (subset-aware; == i when full)
+    start = start_ref[i]
+    stop = stop_ref[i]
     blk0 = start // CHUNK
     nblk = jnp.where(stop > start, pl.cdiv(stop, CHUNK) - blk0, 0)
 
@@ -96,26 +97,34 @@ def _kernel(start_ref, stop_ref, attrs_ref, out_ref, abuf, sem, *, grid: TileGri
 )
 def raster_forward(
     pair_attrs: jnp.ndarray,  # [ATTR_C, R] f32, R % 128 == 0
-    tile_start: jnp.ndarray,  # [num_tiles] int32
-    tile_stop: jnp.ndarray,   # [num_tiles] int32
+    tile_start: jnp.ndarray,  # [n_sub] int32 (subset rows of the binning)
+    tile_stop: jnp.ndarray,   # [n_sub] int32
     *,
     grid: TileGrid,
     use_sa: bool = True,
     need_normal: bool = True,
     interpret: bool = False,
+    tile_ids: jnp.ndarray | None = None,  # [n_sub] image-tile ids; None=all
 ) -> jnp.ndarray:
-    """Returns tile-major render buffer [num_tiles, OUT_C, pixels_per_tile]."""
+    """Returns tile-major render buffer [n_sub, OUT_C, pixels_per_tile].
+
+    ``tile_ids`` selects a subset of image tiles (coarse tracking renders
+    a strided checkerboard from the same pair cache); by default all
+    ``grid.num_tiles`` tiles render in order.
+    """
     c, r = pair_attrs.shape
     assert c == ATTR_C and r % CHUNK == 0, (c, r)
-    n_tiles = grid.num_tiles
+    if tile_ids is None:
+        tile_ids = jnp.arange(grid.num_tiles, dtype=jnp.int32)
+    n_sub = tile_ids.shape[0]
     P = grid.pixels_per_tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        num_scalar_prefetch=3,
+        grid=(n_sub,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, OUT_C, P), lambda t, s1, s2: (t, 0, 0),
+            (1, OUT_C, P), lambda t, s1, s2, s3: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -126,14 +135,14 @@ def raster_forward(
     kernel = functools.partial(_kernel, grid=grid, use_sa=use_sa,
                                need_normal=need_normal)
     out_shape = jax.ShapeDtypeStruct(
-        (n_tiles, OUT_C, P), jnp.float32, vma=_vma_of(pair_attrs)
+        (n_sub, OUT_C, P), jnp.float32, vma=_vma_of(pair_attrs)
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(tile_start, tile_stop, pair_attrs)
+    )(tile_ids, tile_start, tile_stop, pair_attrs)
 
 
 def _vma_of(*xs):
@@ -153,15 +162,16 @@ def _vma_of(*xs):
 # incoming carry to HBM so the backward kernel can skip its re-forward
 # sweep (Phase A) entirely.
 
-def _kernel_stash(start_ref, stop_ref, soff_ref, attrs_ref, out_ref,
+def _kernel_stash(ids_ref, start_ref, stop_ref, soff_ref, attrs_ref, out_ref,
                   stash_ref, kexit_ref, abuf, sem, sbuf, ssem, *,
                   grid: TileGrid, use_sa: bool, need_normal: bool):
     from .pallas_backward import _stash_from_state
 
-    t = pl.program_id(0)
-    start = start_ref[t]
-    stop = stop_ref[t]
-    soff = soff_ref[t]
+    i = pl.program_id(0)
+    t = ids_ref[i]
+    start = start_ref[i]
+    stop = stop_ref[i]
+    soff = soff_ref[i]
     blk0 = start // CHUNK
     nblk = jnp.where(stop > start, pl.cdiv(stop, CHUNK) - blk0, 0)
 
@@ -273,32 +283,35 @@ def raster_forward_stash(
     use_sa: bool = True,
     need_normal: bool = True,
     interpret: bool = False,
+    tile_ids: jnp.ndarray | None = None,
 ):
     """Forward + per-chunk carry stash for the Phase-A-free backward.
 
-    Returns (out [T, OUT_C, P], stash [S, STASH_C, P], kexit [T]).
+    Returns (out [n_sub, OUT_C, P], stash [S, STASH_C, P], kexit [n_sub]).
     """
     from .pallas_backward import STASH_C
 
     c, r = pair_attrs.shape
     assert c == ATTR_C and r % CHUNK == 0, (c, r)
-    n_tiles = grid.num_tiles
+    if tile_ids is None:
+        tile_ids = jnp.arange(grid.num_tiles, dtype=jnp.int32)
+    n_sub = tile_ids.shape[0]
     P = grid.pixels_per_tile
-    S = stash_rows(r, n_tiles)
+    S = stash_rows(r, n_sub)
     soff = stash_offsets(tile_start, tile_stop)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_tiles,),
+        num_scalar_prefetch=4,
+        grid=(n_sub,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((1, OUT_C, P), lambda t, s1, s2, s3: (t, 0, 0),
+            pl.BlockSpec((1, OUT_C, P), lambda t, s1, s2, s3, s4: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             # (1, 8, 128) block: TPU lowering needs the last two block
             # dims divisible by (8, 128); a [T] scalar per tile is
             # broadcast into an 8x128 block and sliced on the way out
-            pl.BlockSpec((1, 8, 128), lambda t, s1, s2, s3: (t, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda t, s1, s2, s3, s4: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -315,10 +328,10 @@ def raster_forward_stash(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, OUT_C, P), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((n_sub, OUT_C, P), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((S, STASH_C, P), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32, vma=vma),
         ),
         interpret=interpret,
-    )(tile_start, tile_stop, soff, pair_attrs)
+    )(tile_ids, tile_start, tile_stop, soff, pair_attrs)
     return out, stash, kexit[:, 0, 0]

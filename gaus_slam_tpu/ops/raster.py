@@ -36,14 +36,21 @@ class RenderSettings(NamedTuple):
     need_normal: bool = True  # gate normal accumulation + its grad paths
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def render_pairs(pair_attrs, tile_start, tile_stop, settings: RenderSettings):
-    """[ATTR_C, R] pair attrs -> [num_tiles, OUT_C, P] render buffer."""
-    return _forward(pair_attrs, tile_start, tile_stop, settings)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def render_pairs(pair_attrs, tile_start, tile_stop, tile_ids,
+                 settings: RenderSettings):
+    """[ATTR_C, R] pair attrs -> [n_sub, OUT_C, P] render buffer.
+
+    ``tile_ids`` (or None for all tiles) selects the image tiles to
+    render; ``tile_start``/``tile_stop`` are the matching subset rows of
+    the binning bounds (coarse tracking renders a strided checkerboard
+    of tiles from the same pair cache)."""
+    return _forward(pair_attrs, tile_start, tile_stop, tile_ids, settings)
 
 
-def _forward(pair_attrs, tile_start, tile_stop, settings):
+def _forward(pair_attrs, tile_start, tile_stop, tile_ids, settings):
     if settings.backend == "reference":
+        assert tile_ids is None, "tile subsetting needs the pallas kernels"
         r = pair_attrs.shape[1]
         bins_like = Binning(
             pair_gauss=jnp.arange(r, dtype=jnp.int32),
@@ -69,13 +76,15 @@ def _forward(pair_attrs, tile_start, tile_stop, settings):
         grid=settings.grid, use_sa=settings.use_sa,
         need_normal=settings.need_normal,
         interpret=(settings.backend == "interpret"),
+        tile_ids=tile_ids,
     )
 
 
-def _fwd(pair_attrs, tile_start, tile_stop, settings):
+def _fwd(pair_attrs, tile_start, tile_stop, tile_ids, settings):
     if settings.backend == "reference":
-        out = _forward(pair_attrs, tile_start, tile_stop, settings)
-        return out, (pair_attrs, tile_start, tile_stop, out, None, None)
+        out = _forward(pair_attrs, tile_start, tile_stop, tile_ids, settings)
+        return out, (pair_attrs, tile_start, tile_stop, tile_ids, out,
+                     None, None)
     # the vjp-path forward stashes each chunk's incoming carry so the
     # backward kernel runs its reverse sweep directly (no Phase-A
     # re-forward)
@@ -86,12 +95,14 @@ def _fwd(pair_attrs, tile_start, tile_stop, settings):
         grid=settings.grid, use_sa=settings.use_sa,
         need_normal=settings.need_normal,
         interpret=(settings.backend == "interpret"),
+        tile_ids=tile_ids,
     )
-    return out, (pair_attrs, tile_start, tile_stop, out, stash, kexit)
+    return out, (pair_attrs, tile_start, tile_stop, tile_ids, out, stash,
+                 kexit)
 
 
 def _bwd(settings, res, d_out):
-    pair_attrs, tile_start, tile_stop, out, stash, kexit = res
+    pair_attrs, tile_start, tile_stop, tile_ids, out, stash, kexit = res
     if stash is None:
         from .pallas_backward import raster_backward
 
@@ -109,6 +120,7 @@ def _bwd(settings, res, d_out):
             grid=settings.grid, use_sa=settings.use_sa,
             need_normal=settings.need_normal,
             interpret=(settings.backend == "interpret"),
+            tile_ids=tile_ids,
         )
     # inside shard_map the cotangent must carry the primal's
     # varying-across-mesh axes
@@ -117,7 +129,7 @@ def _bwd(settings, res, d_out):
     missing = tuple(want - have)
     if missing:
         d_attrs = jax.lax.pvary(d_attrs, missing)
-    return d_attrs, None, None
+    return d_attrs, None, None, None
 
 
 render_pairs.defvjp(_fwd, _bwd)

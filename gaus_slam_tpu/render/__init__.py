@@ -151,7 +151,7 @@ def render_full(
         )
     attrs_t = pack_pair_attrs(pre, rgb).T            # [N, ATTR_C]
     pattrs = expand_pairs(attrs_t, bins, opts.max_tiles_per_gaussian)
-    out = render_pairs(pattrs, bins.tile_start, bins.tile_stop,
+    out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, None,
                        opts.settings())
     return _method_mask(out, opts), bins
 
@@ -242,13 +242,16 @@ def bin_for_tracking(
 
 def render_tracking(
     cache: PairCache, pose_quat, pose_trans, cam_proj: Camera,
-    opts: RenderOptions,
+    opts: RenderOptions, tile_ids: jnp.ndarray | None = None,
 ):
     """Tracking-mode render: pair-cached map moved by the live pose.
 
     Gradient path matches Renderer_tracking (render/__init__.py:30-39):
     means through the live w2c; rotated quaternions detached; map
     parameters constants (the cache is already detached).
+
+    ``tile_ids`` renders only that subset of image tiles (coarse
+    tracking); the output is [len(tile_ids), OUT_C, P].
     """
     from ..ops.se3 import pose_matrix, quat_normalize
 
@@ -260,8 +263,12 @@ def render_tracking(
     pre = _preprocess(xyz_cam, cache.scales, quats_cam, cache.opac,
                       cam_eye, opts)
     pattrs = pack_pair_attrs(pre, cache.rgb)
+    if tile_ids is None:
+        start, stop = cache.tile_start, cache.tile_stop
+    else:
+        start, stop = cache.tile_start[tile_ids], cache.tile_stop[tile_ids]
     out = render_pairs(
-        pattrs, cache.tile_start, cache.tile_stop,
+        pattrs, start, stop, tile_ids,
         opts.settings(need_normal=opts.normals_in_tracking),
     )
     return _method_mask(out, opts)

@@ -33,6 +33,20 @@ class TrackConfig(NamedTuple):
     rot_sched: LrSchedule
     trans_sched: LrSchedule
     betas: tuple = (0.7, 0.99)
+    # coarse-to-fine: the first `coarse_iters` iterations render only a
+    # `coarse_stride`-strided checkerboard of image tiles from the same
+    # pair cache (~stride^2 less kernel work per iteration). TPU-native
+    # replacement for the reference's full-res-every-iteration loop; the
+    # remaining iterations run at full resolution.
+    coarse_iters: int = 0
+    coarse_stride: int = 2
+
+
+def _coarse_tile_ids(grid, stride: int) -> jnp.ndarray:
+    """Strided checkerboard of image-tile ids (static for a given grid)."""
+    ty = jnp.arange(0, grid.tiles_y, stride, dtype=jnp.int32)
+    tx = jnp.arange(0, grid.tiles_x, stride, dtype=jnp.int32)
+    return (ty[:, None] * grid.tiles_x + tx[None, :]).reshape(-1)
 
 
 @functools.partial(
@@ -49,31 +63,49 @@ def tracking_loop(
 ):
     """Full tracking optimization for one frame as one XLA program."""
 
-    def loss_fn(quat, trans):
-        out = render_tracking(cache, quat, trans, cam_proj, opts)
-        loss, aux = tracking_loss(out, gt_tiled, lcfg)
-        return loss, aux
+    def make_grad_fn(tile_ids, gt_sub):
+        def loss_fn(quat, trans):
+            out = render_tracking(cache, quat, trans, cam_proj, opts,
+                                  tile_ids=tile_ids)
+            loss, aux = tracking_loss(out, gt_sub, lcfg)
+            return loss, aux
 
-    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        return jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
-    def cond(carry):
-        pose, k, conv, _, _ = carry
-        not_conv = conv <= 3 if tcfg.converged_th > 0 else jnp.bool_(True)
-        return (k < tcfg.num_iters) & not_conv
+    def make_body(grad_fn):
+        def body(carry):
+            pose, k, conv, _, _ = carry
+            (loss, aux), (g_q, g_t) = grad_fn(pose.quat, pose.trans)
+            new_pose = pose_adam_step(
+                pose, g_q, g_t, tcfg.rot_sched, tcfg.trans_sched, tcfg.betas
+            )
+            delta = jnp.linalg.norm(new_pose.trans - pose.trans)
+            conv = jnp.where(delta < tcfg.converged_th, conv + 1, 0)
+            return new_pose, k + 1, conv, loss, aux["depth_l1"]
 
-    def body(carry):
-        pose, k, conv, _, _ = carry
-        (loss, aux), (g_q, g_t) = grad_fn(pose.quat, pose.trans)
-        new_pose = pose_adam_step(
-            pose, g_q, g_t, tcfg.rot_sched, tcfg.trans_sched, tcfg.betas
+        return body
+
+    def cond_until(kmax):
+        def cond(carry):
+            pose, k, conv, _, _ = carry
+            not_conv = conv <= 3 if tcfg.converged_th > 0 else jnp.bool_(True)
+            return (k < kmax) & not_conv
+
+        return cond
+
+    carry = (pose0, jnp.int32(0), jnp.int32(0), jnp.float32(0.0),
+             jnp.float32(0.0))
+    n_coarse = min(tcfg.coarse_iters, tcfg.num_iters)
+    if n_coarse > 0 and opts.backend != "reference":
+        ids = _coarse_tile_ids(opts.grid, tcfg.coarse_stride)
+        carry = lax.while_loop(
+            cond_until(n_coarse), make_body(make_grad_fn(ids, gt_tiled[ids])),
+            carry,
         )
-        delta = jnp.linalg.norm(new_pose.trans - pose.trans)
-        conv = jnp.where(delta < tcfg.converged_th, conv + 1, 0)
-        return new_pose, k + 1, conv, loss, aux["depth_l1"]
-
-    carry0 = (pose0, jnp.int32(0), jnp.int32(0), jnp.float32(0.0),
-              jnp.float32(0.0))
-    pose, iters, _, loss, depth_l1 = lax.while_loop(cond, body, carry0)
+    pose, iters, _, loss, depth_l1 = lax.while_loop(
+        cond_until(tcfg.num_iters), make_body(make_grad_fn(None, gt_tiled)),
+        carry,
+    )
     return pose, {"iters": iters, "loss": loss, "depth_l1": depth_l1}
 
 

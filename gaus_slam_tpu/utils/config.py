@@ -170,6 +170,8 @@ class SystemConfig:
             rot_sched=_sched(fe, "cam_rot"),
             trans_sched=_sched(fe, "cam_trans"),
             betas=betas,
+            coarse_iters=int(fr.get("coarse_iters", 0)),
+            coarse_stride=int(fr.get("coarse_stride", 2)),
         )
         track_back = TrackConfig(
             num_iters=nb,

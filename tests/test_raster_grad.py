@@ -77,7 +77,7 @@ def test_vjp_matches_autodiff_oracle_multichunk(use_sa):
 
     def loss_pallas(a):
         pattrs = expand_pairs(a, bins, bins.num_tiles_touched)
-        out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, settings)
+        out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, None, settings)
         return jnp.sum(out * dw)
 
     def loss_ref(a):
@@ -112,7 +112,7 @@ def test_vjp_matches_autodiff_oracle_multitile(use_sa):
 
     def loss_pallas(a):
         pattrs = expand_pairs(a, bins, bins.num_tiles_touched)
-        out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, settings)
+        out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, None, settings)
         return jnp.sum(out * dw)
 
     def loss_ref(a):
@@ -150,7 +150,7 @@ def test_vjp_finite_differences():
         def loss(a):
             pattrs = expand_pairs(a, bins, bins.num_tiles_touched)
             out = render_pairs(pattrs, bins.tile_start, bins.tile_stop,
-                               settings)
+                               None, settings)
             return jnp.sum(out * dw)
 
         g = np.asarray(jax.grad(loss)(attrs_t))

@@ -129,3 +129,27 @@ def test_tracking_recovers_pose(scene, mapped):
     t_err = float(jnp.linalg.norm(pose.w2c[:3, 3] - w2c1[:3, 3]))
     assert int(aux["iters"]) == 60
     assert t_err < 0.35 * t_err0, (t_err0, t_err)
+
+
+def test_tracking_coarse_to_fine_recovers_pose(scene, mapped):
+    """Coarse-to-fine: early iterations on a stride-2 tile checkerboard
+    (1/4 of the kernel work) must still pull the pose toward gt at least
+    as well as a shortened full-res loop would."""
+    ds, cam, grid, opts, lcfg, frames = scene
+    gm, _ = mapped
+    color1, depth1, w2c1 = frames[1]
+    w2c0 = frames[0][2]
+    pose0 = init_pose(w2c0)
+    cache = bin_for_tracking(gm, cam.replace_w2c(w2c0), opts)
+    gt = gt_tiles(color1, depth1, grid)
+    tcfg = TrackConfig(
+        num_iters=60, converged_th=-1.0,
+        rot_sched=LrSchedule(8e-4, 8e-5, 60),
+        trans_sched=LrSchedule(4e-3, 4e-4, 60),
+        coarse_iters=40, coarse_stride=2,
+    )
+    pose, aux = tracking_loop(cache, pose0, gt, cam, opts, tcfg, lcfg)
+    t_err0 = float(jnp.linalg.norm(w2c0[:3, 3] - w2c1[:3, 3]))
+    t_err = float(jnp.linalg.norm(pose.w2c[:3, 3] - w2c1[:3, 3]))
+    assert int(aux["iters"]) == 60
+    assert t_err < 0.4 * t_err0, (t_err0, t_err)
