@@ -141,7 +141,7 @@ config = dict(
         ),
     ),
     tpu=dict(
-        pair_budget_factor=4,
+        pair_budget_factor=2,
         max_tiles_per_gaussian=9,
         capacity_quantum=1 << 17,
     ),

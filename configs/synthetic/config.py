@@ -34,6 +34,10 @@ config = dict(
         num_tracking_iters=num_tracking_iter,
         num_mapping_iters=num_mapping_iters,
         converged_th=5e-4,
+        # coarse-to-fine tracking: first iterations render a stride-2
+        # tile checkerboard (1/4 the kernel work) from the same pair cache
+        coarse_iters=int(os.environ.get("COARSE_ITERS", 18)),
+        coarse_stride=2,
         tau_k=0.05,
         tau_l=h * w * 1.5,
         max_frames=localmap_max_frames,
@@ -125,7 +129,7 @@ config = dict(
         ),
     ),
     tpu=dict(
-        pair_budget_factor=4,
+        pair_budget_factor=2,
         max_tiles_per_gaussian=9,
         capacity_quantum=1 << 17,
     ),

@@ -38,7 +38,7 @@ class RenderOptions(NamedTuple):
     grid: B.TileGrid
     use_sa: bool = True
     backend: str = "pallas"
-    pair_budget_factor: int = 4   # r_max = factor * capacity
+    pair_budget_factor: int = 2   # r_max = factor * capacity (escalates on overflow)
     max_tiles_per_gaussian: int = 16
     normals_in_tracking: bool = False  # loss.use_normal_loss
     method: str = "2dgs"          # "2dgs" surfels | "3dgs" volumetric

@@ -113,7 +113,7 @@ class SystemConfig:
         opts = RenderOptions(
             grid=grid, use_sa=bool(r.get("use_sa", True)), backend=backend,
             pair_budget_factor=int(config.get("tpu", {}).get(
-                "pair_budget_factor", 4)),
+                "pair_budget_factor", 2)),
             max_tiles_per_gaussian=int(config.get("tpu", {}).get(
                 "max_tiles_per_gaussian", 9)),
             normals_in_tracking=bool(
