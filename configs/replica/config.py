@@ -142,7 +142,7 @@ config = dict(
     ),
     tpu=dict(
         pair_budget_factor=2,
-        max_tiles_per_gaussian=9,
+        max_tiles_per_gaussian=4,
         capacity_quantum=1 << 17,
     ),
     viz=dict(viz_w=600, viz_h=340, view_scale=2, mesh_every=5,

@@ -130,8 +130,12 @@ config = dict(
     ),
     tpu=dict(
         pair_budget_factor=2,
-        max_tiles_per_gaussian=9,
+        max_tiles_per_gaussian=4,
         capacity_quantum=1 << 17,
+        capacity_margin=1.2,
+        # 4 consecutive mapping iterations share one binning (sub-pixel
+        # per-iteration motion; tracking-pair-cache staleness argument)
+        mapping_rebin_every=4,
     ),
     viz=dict(viz_w=w, viz_h=h, view_scale=1, mesh_every=5,
              gen_animation=False, video_freq=30),

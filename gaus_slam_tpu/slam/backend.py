@@ -70,6 +70,8 @@ class Backend:
         self.final_refinement = int(be.get("final_refinement", -1))
         self.capacity_quantum = int(config.get("tpu", {}).get(
             "capacity_quantum", 1 << 16))
+        self.capacity_margin = float(config.get("tpu", {}).get(
+            "capacity_margin", 1.3))
 
         self.map: G.GaussianMap | None = None
         self.local_maps = Localmaps()
@@ -107,7 +109,7 @@ class Backend:
         gm = self.map
         q = self.capacity_quantum
         n = int(gm.n_active) if needed is None else needed
-        cap = max(q, -(-int(n * 1.3) // q) * q)
+        cap = max(q, -(-int(n * self.capacity_margin) // q) * q)
         if cap == gm.capacity or (cap < gm.capacity
                                   and n > 0.35 * gm.capacity):
             return
@@ -254,6 +256,12 @@ class Backend:
 
     def process(self):
         """Drain one task (Backend.process, :174-194)."""
+        import os as _os
+        prof = _os.environ.get("GAUS_PROFILE")
+        if prof:
+            _t0 = time.perf_counter()
+            _cmd0 = (self.task_queue.queue[0][0]
+                     if not self.task_queue.empty() else "idle")
         if not self.task_queue.empty():
             cmd = self.task_queue.get()
             if cmd[0] == "prune":
@@ -277,6 +285,16 @@ class Backend:
             self.task_queue.put(
                 ("mapping", self.rng.choice(range(len(self.local_maps))))
             )
+        if prof:
+            dt = time.perf_counter() - _t0
+            self._prof_acc = getattr(self, "_prof_acc", {})
+            a = self._prof_acc.setdefault(_cmd0, [0.0, 0])
+            a[0] += dt
+            a[1] += 1
+            if sum(v[1] for v in self._prof_acc.values()) % 25 == 0:
+                print("[prof] backend tasks " + " ".join(
+                    f"{k}:{v[0]/max(v[1],1)*1000:.0f}ms x{v[1]}"
+                    for k, v in self._prof_acc.items()), flush=True)
 
     def process_localmap(self, lm: LocalMap, multi_process: bool = False):
         """Merge one submap (Backend.process_localmap, :196-248)."""
@@ -306,7 +324,7 @@ class Backend:
 
         if self.cur_lmid == 0:
             cap = max(self.capacity_quantum,
-                      -(-int(int(n_active) * 1.3) // self.capacity_quantum)
+                      -(-int(int(n_active) * self.capacity_margin) // self.capacity_quantum)
                       * self.capacity_quantum)
             gm = G.empty_map(cap)
             self.map = G.add_params(gm, params, active)

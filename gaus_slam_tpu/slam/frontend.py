@@ -28,7 +28,7 @@ from ..models.frame import Frame, init_exposure, init_pose
 from ..models.submap import LocalMap
 from ..ops.composite_ref import image_to_tiles
 from ..ops.se3 import invert_se3
-from ..render import bin_for_tracking, render_view
+from ..render import bin_for_tracking, bin_full, render_view
 from ..utils.config import SystemConfig
 from .densify import add_new_gaussians, prune_gaussians
 from .init_map import initialize_map
@@ -38,6 +38,9 @@ from .steps import mapping_step, tracking_loop
 def _sync(x):
     jax.block_until_ready(x)
     return x
+
+
+_bin_full_jit = jax.jit(bin_full, static_argnames=("opts",))
 
 
 class Frontend:
@@ -58,9 +61,15 @@ class Frontend:
         self.enable_retracking = bool(fr.get("enable_retracking", False))
         self.additional_densify = bool(fr.get("additional_densify", False))
         self.densify_interval = int(config["densify"].get("densify_interval", 20))
+        # consecutive mapping iterations sharing one binning (1 = re-bin
+        # every iteration, exact reference parity)
+        self.rebin_every = int(config.get("tpu", {}).get(
+            "mapping_rebin_every", 1))
         self.num_frame_saved = int(config["backend"]["num_frame_saved"])
         self.capacity_quantum = int(config.get("tpu", {}).get(
             "capacity_quantum", 1 << 16))
+        self.capacity_margin = float(config.get("tpu", {}).get(
+            "capacity_margin", 1.3))
 
         self.map: G.GaussianMap | None = None
         self.local_frames: list[Frame] = []
@@ -81,7 +90,7 @@ class Frontend:
     # ------------------------------------------------------------------
     def _capacity_for(self, n: int) -> int:
         q = self.capacity_quantum
-        cap = max(q, -(-int(n * 1.3) // q) * q)
+        cap = max(q, -(-int(n * self.capacity_margin) // q) * q)
         return cap
 
     def _fit_capacity(self):
@@ -164,11 +173,15 @@ class Frontend:
             cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
             s.track_front, s.lcfg,
         )
-        _sync(pose.quat)
         frame.pose = pose
-        self._check_escalation(jax.device_get(
-            {"overflow": cache.overflow, "n_shrunk": cache.n_shrunk}))
-        iters = int(aux["iters"])
+        # ONE fused readback for everything the host needs this frame
+        # (each device_get through the tunnel costs ~1ms + a full drain)
+        host = jax.device_get({
+            "overflow": cache.overflow, "n_shrunk": cache.n_shrunk,
+            "iters": aux["iters"], "depth_l1": aux["depth_l1"],
+        })
+        self._check_escalation(host)
+        iters = int(host["iters"])
         if os.environ.get("GAUS_PROFILE"):
             print(f"[prof] track: bin={t_bin*1000:.0f}ms "
                   f"loop={(time.perf_counter()-t0-t_bin)*1000:.0f}ms "
@@ -176,7 +189,7 @@ class Frontend:
         dt = time.perf_counter() - t0
         self.t_track_iter[0] += dt
         self.t_track_iter[1] += max(iters, 1)
-        return float(aux["depth_l1"])
+        return float(host["depth_l1"])
 
     def mapping(self, frames=None):
         s = self.sys
@@ -185,22 +198,40 @@ class Frontend:
         t0 = time.perf_counter()
         n_steps = 0
         aux = None
-        for it in range(self.num_mapping_iters):
+        it = 0
+        while it < self.num_mapping_iters:
             frame: Frame = self.rng.choice(frames)
-            exp = frame.exposure if frame.exposure is not None else exp_dummy
-            gm, exp, aux = mapping_step(
-                self.map, frame.get_w2c, self._tile_gt(frame), exp,
-                jnp.bool_(s.lcfg.enable_exposure and frame.mapping_times > 10),
-                s.exp_sched_front, s.cam, s.opts, s.mcfg, s.lcfg,
-            )
-            self.map = gm
-            if frame.exposure is not None:
-                frame.exposure = exp
-            frame.mapping_times += 1
-            n_steps += 1
-            if (self.additional_densify
-                    and (frame.mapping_times + 1) % self.densify_interval == 0):
-                self._densify(frame)
+            # run `rebin_every` consecutive iterations on this frame with
+            # one shared binning (per-iteration motion is sub-pixel; same
+            # staleness argument as the tracking pair cache). rebin_every
+            # = 1 re-bins inside every step exactly like the reference.
+            group = min(self.rebin_every, self.num_mapping_iters - it)
+            bins = None
+            if group > 1:
+                bins = _bin_full_jit(
+                    self.map.params, self.map.active,
+                    s.cam.replace_w2c(jnp.asarray(frame.get_w2c)), s.opts)
+            for j in range(group):
+                exp = (frame.exposure if frame.exposure is not None
+                       else exp_dummy)
+                gm, exp, aux = mapping_step(
+                    self.map, frame.get_w2c, self._tile_gt(frame), exp,
+                    jnp.bool_(s.lcfg.enable_exposure
+                              and frame.mapping_times > 10),
+                    s.exp_sched_front, s.cam, s.opts, s.mcfg, s.lcfg,
+                    bins=bins,
+                )
+                self.map = gm
+                if frame.exposure is not None:
+                    frame.exposure = exp
+                frame.mapping_times += 1
+                n_steps += 1
+                it += 1
+                if (self.additional_densify
+                        and (frame.mapping_times + 1)
+                        % self.densify_interval == 0):
+                    self._densify(frame)
+                    break  # map rows changed: stale bins, resample
         # one readback fences the whole (sequentially dependent) loop —
         # per-iteration syncs serialize dispatch through the device tunnel
         if aux is not None:

@@ -132,13 +132,21 @@ def mapping_step(
     opts: RenderOptions,
     mcfg: MapConfig,
     lcfg: LossConfig,
+    bins=None,
 ):
     """One mapping iteration: render at a fixed pose, map params live
-    (Frontend.mapping / Backend.mapping semantics)."""
+    (Frontend.mapping / Backend.mapping semantics).
+
+    ``bins``: optionally a precomputed Binning for this (map, pose) —
+    callers running several consecutive iterations on one frame reuse it
+    (per-iteration parameter motion is sub-pixel, the same staleness
+    argument as the tracking pair cache); None re-bins exactly like the
+    reference."""
     from ..render import bin_full
 
     cam = cam_proj.replace_w2c(lax.stop_gradient(w2c))
-    bins = bin_full(gm.params, gm.active, cam, opts)
+    if bins is None:
+        bins = bin_full(gm.params, gm.active, cam, opts)
 
     def loss_fn(params, gain, bias):
         exp = exposure._replace(gain=gain, bias=bias) \

@@ -115,7 +115,7 @@ class SystemConfig:
             pair_budget_factor=int(config.get("tpu", {}).get(
                 "pair_budget_factor", 2)),
             max_tiles_per_gaussian=int(config.get("tpu", {}).get(
-                "max_tiles_per_gaussian", 9)),
+                "max_tiles_per_gaussian", 4)),
             normals_in_tracking=bool(
                 config["loss"].get("use_normal_loss", False)),
             method=method,
