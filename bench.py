@@ -27,11 +27,15 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 H = int(os.environ.get("BENCH_H", 340))
 W = int(os.environ.get("BENCH_W", 600))
-# the first submap cut (frame 10 at max_frames=10) triggers the backend's
-# first-use program loads; steady state starts after it, so the warm-up
-# window must cover it
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", 26))
-WARM = int(os.environ.get("BENCH_WARM", 12))
+# per-process, every (program x shape-bucket) pays one trace+lower on
+# first call — ~30-60s for the big programs on a 1-core host. The warm-up
+# window must cover the first TWO submap cuts: cut 1 first-uses the
+# backend merge/mapping programs, cut 2 first-uses the covis
+# mapping/tracking/prune path. With the capacity floors pinned
+# (configs/synthetic tpu.frontend_capacity/backend_capacity) no further
+# shapes appear, so frames past cut 2 are honest steady state.
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", 34))
+WARM = int(os.environ.get("BENCH_WARM", 22))
 
 
 def main():
@@ -81,12 +85,19 @@ def main():
             jax.block_until_ready(frontend.map.params.xyz)
             t_mark = time.perf_counter()
         color, depth, _, c2w = frames[t]
+        _tf0 = time.perf_counter()
         frontend.process_frame(t, np.asarray(color) / 255.0,
                                np.asarray(depth), c2w)
+        _tf1 = time.perf_counter()
         while not to_backend.empty():
             backend_.process_localmap(to_backend.get(), multi_process=True)
+        _tf2 = time.perf_counter()
         for _ in range(4):
             backend_.process()
+        if os.environ.get("BENCH_VERBOSE"):
+            print(f"[bench] frame {t}: frontend={_tf1-_tf0:.2f}s "
+                  f"merge={_tf2-_tf1:.2f}s backend={time.perf_counter()-_tf2:.2f}s",
+                  file=sys.stderr, flush=True)
     while not backend_.task_queue.empty():
         backend_.process()
     jax.block_until_ready(frontend.map.params.xyz)

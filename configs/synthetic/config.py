@@ -136,6 +136,12 @@ config = dict(
         # 4 consecutive mapping iterations share one binning (sub-pixel
         # per-iteration motion; tracking-pair-cache staleness argument)
         mapping_rebin_every=4,
+        # pre-size the maps so the capacity bucket NEVER flips mid-run:
+        # every flip re-traces + re-lowers every jitted program (seconds
+        # to minutes on a slow host). Frontend is bounded by tau_l; the
+        # backend floor covers the bench-scale global map.
+        frontend_capacity=-(-int(h * w * 1.5 * 1.2) // (1 << 17)) * (1 << 17),
+        backend_capacity=-(-int(h * w * 2.0) // (1 << 17)) * (1 << 17),
     ),
     viz=dict(viz_w=w, viz_h=h, view_scale=1, mesh_every=5,
              gen_animation=False, video_freq=30),

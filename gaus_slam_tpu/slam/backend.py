@@ -72,6 +72,11 @@ class Backend:
             "capacity_quantum", 1 << 16))
         self.capacity_margin = float(config.get("tpu", {}).get(
             "capacity_margin", 1.3))
+        # floor capacity (see Frontend.capacity_floor): pre-size the
+        # global map so merges don't flip the capacity bucket every
+        # submap (each flip re-traces every backend program)
+        self.capacity_floor = int(config.get("tpu", {}).get(
+            "backend_capacity", 0))
 
         self.map: G.GaussianMap | None = None
         self.local_maps = Localmaps()
@@ -109,7 +114,8 @@ class Backend:
         gm = self.map
         q = self.capacity_quantum
         n = int(gm.n_active) if needed is None else needed
-        cap = max(q, -(-int(n * self.capacity_margin) // q) * q)
+        cap = max(max(q, -(-int(n * self.capacity_margin) // q) * q),
+                  self.capacity_floor)
         if cap == gm.capacity or (cap < gm.capacity
                                   and n > 0.35 * gm.capacity):
             return
@@ -324,8 +330,9 @@ class Backend:
 
         if self.cur_lmid == 0:
             cap = max(self.capacity_quantum,
-                      -(-int(int(n_active) * self.capacity_margin) // self.capacity_quantum)
-                      * self.capacity_quantum)
+                      -(-int(int(n_active) * self.capacity_margin)
+                        // self.capacity_quantum) * self.capacity_quantum,
+                      self.capacity_floor)
             gm = G.empty_map(cap)
             self.map = G.add_params(gm, params, active)
             for _ in range(self.num_ba_iters):

@@ -70,6 +70,13 @@ class Frontend:
             "capacity_quantum", 1 << 16))
         self.capacity_margin = float(config.get("tpu", {}).get(
             "capacity_margin", 1.3))
+        # floor capacity: pre-size the map arrays so the capacity bucket
+        # never changes during the run (each bucket change re-traces and
+        # re-lowers every jitted program — seconds-to-minutes per bucket
+        # on a slow host). The local map is bounded by tau_l, so
+        # bucket(tau_l * margin) removes all frontend bucket flips.
+        self.capacity_floor = int(config.get("tpu", {}).get(
+            "frontend_capacity", 0))
 
         self.map: G.GaussianMap | None = None
         self.local_frames: list[Frame] = []
@@ -91,7 +98,7 @@ class Frontend:
     def _capacity_for(self, n: int) -> int:
         q = self.capacity_quantum
         cap = max(q, -(-int(n * self.capacity_margin) // q) * q)
-        return cap
+        return max(cap, self.capacity_floor)
 
     def _fit_capacity(self):
         """Grow (or shrink with hysteresis) the map arrays so jitted step
