@@ -55,3 +55,23 @@ def test_quiet_diagnostics_no_op():
     s = make_sys()
     assert s.maybe_escalate(overflow=False, n_shrunk=0, n_active=100000) \
         is None
+
+
+def test_capacity_floor_pins_bucket():
+    """tpu.frontend_capacity / backend_capacity pin the map capacity so
+    jitted-program shape buckets never flip mid-run (PERF.md round-2:
+    every flip re-traces the whole program set)."""
+    import queue
+
+    from gaus_slam_tpu.slam.frontend import Frontend
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "synthetic", "config.py"))
+    cfg["cameras"]["height"] = 48
+    cfg["cameras"]["width"] = 64
+    cfg["cameras"]["intrinsics"] = [[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]]
+    cfg["tpu"]["frontend_capacity"] = 1 << 18
+    fe = Frontend(cfg, queue.Queue(), backend="interpret")
+    assert fe._capacity_for(10) == 1 << 18
+    assert fe._capacity_for(200_000) == 1 << 18       # below floor: pinned
+    assert fe._capacity_for(300_000) > (1 << 18)      # above floor: grows
