@@ -40,7 +40,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
 
 def _ba_loss(params, active, w2c, gt_tiled, cam_proj, opts, lcfg):
     cam = cam_proj.replace_w2c(w2c)
-    out, _ = render_full(params, active, cam, opts)
+    out, _ = render_full(params, active, cam, opts,
+                         need_normal=opts.normals_in_tracking)
     loss, _ = mapping_loss(out, gt_tiled, lcfg)
     return loss
 

@@ -135,11 +135,15 @@ def render_full(
     cam: Camera,
     opts: RenderOptions,
     bins: B.Binning | None = None,
+    need_normal: bool = True,
 ):
     """Differentiable full-map render (mapping/BA/view paths).
 
     Returns (out_tiled [T, OUT_C, P], bins). Binning is non-differentiable
     structure; pass a precomputed one to reuse it across iterations.
+    ``need_normal=False`` skips the normal accumulation and its vjp
+    shadow in the kernels (mapping/BA losses only read normals under
+    use_normal_loss — reference slam/Loss.py:51-58).
     """
     xyz, scales, quats, opac, rgb = _activated(params, active)
     pre = _preprocess(xyz, scales, quats, opac, cam, opts, active=active)
@@ -152,7 +156,7 @@ def render_full(
     attrs_t = pack_pair_attrs(pre, rgb).T            # [N, ATTR_C]
     pattrs = expand_pairs(attrs_t, bins, opts.max_tiles_per_gaussian)
     out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, None,
-                       opts.settings())
+                       opts.settings(need_normal=need_normal))
     return _method_mask(out, opts), bins
 
 

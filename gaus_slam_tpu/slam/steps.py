@@ -151,7 +151,10 @@ def mapping_step(
     def loss_fn(params, gain, bias):
         exp = exposure._replace(gain=gain, bias=bias) \
             if lcfg.enable_exposure else None
-        out, _ = render_full(params, gm.active, cam, opts, bins=bins)
+        # mapping loss reads normals only under use_normal_loss
+        # (opts.normals_in_tracking carries that flag)
+        out, _ = render_full(params, gm.active, cam, opts, bins=bins,
+                             need_normal=opts.normals_in_tracking)
         loss, aux = mapping_loss(out, gt_tiled, lcfg, exposure=exp)
         return loss, aux
 
@@ -227,7 +230,8 @@ def backend_tracking_step(
                 quat_multiply(q_full[None, :], params.quats)
             ),
         )
-        out, _ = render_full(moved, gm.active, cam_eye, opts)
+        out, _ = render_full(moved, gm.active, cam_eye, opts,
+                             need_normal=opts.normals_in_tracking)
         loss, aux = tracking_loss(out, gt_tiled, lcfg)
         return loss, aux
 
