@@ -184,15 +184,28 @@ def add_params(
     n_new = jnp.sum(vi)
     dest = jnp.where(new_active, gm.n_active + rank, C)
 
-    def scat(dst, src):
-        return dst.at[dest].set(src, mode="drop")
+    # ONE wide scatter: TPU scatter cost is per ROW (~120 ns), not per
+    # byte, so the 40 columns (params | zeroed m | zeroed v | active)
+    # ride along for free vs 16 narrow scatters (~6x faster merge).
+    zeros_src = [jnp.zeros_like(s) for s in new]
+    dst = jnp.concatenate(
+        list(gm.params) + list(gm.m) + list(gm.v)
+        + [gm.active[:, None].astype(jnp.float32)], axis=1)
+    src = jnp.concatenate(
+        list(new) + zeros_src + zeros_src
+        + [new_active[:, None].astype(jnp.float32)], axis=1)
+    dst = dst.at[dest].set(src, mode="drop")
 
-    params = Params(*(scat(d, s) for d, s in zip(gm.params, new)))
-    m = Params(*(scat(d, jnp.zeros_like(s)) for d, s in zip(gm.m, new)))
-    v = Params(*(scat(d, jnp.zeros_like(s)) for d, s in zip(gm.v, new)))
-    active = gm.active.at[dest].set(new_active, mode="drop")
+    dims = [PARAM_DIMS[f] for f in PARAM_FIELDS]
+    offs = np.cumsum([0] + dims * 3).tolist()
+
+    def unpack(base):
+        return Params(*(dst[:, offs[base + i]:offs[base + i + 1]]
+                        for i in range(len(dims))))
+
     return gm._replace(
-        params=params, m=m, v=v, active=active,
+        params=unpack(0), m=unpack(5), v=unpack(10),
+        active=dst[:, offs[-1]] > 0.5,
         n_active=jnp.minimum(gm.n_active + n_new, C),
     )
 

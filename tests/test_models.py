@@ -193,3 +193,40 @@ def test_knn_scale_init():
     d = np.asarray(mean_knn_sq_dist(jnp.asarray(g, jnp.float32)))
     med = np.median(d)
     assert 0.5 * h**2 < med < 2.0 * h**2
+
+
+def test_add_params_merge_semantics():
+    """Backend merge (add_params): compacted append with zeroed moments
+    (reference Gaussians.add_params via Backend.py:227), single wide
+    scatter on TPU."""
+    import jax.numpy as jnp
+
+    from gaus_slam_tpu.models import gaussians as G
+
+    gm = G.empty_map(16)
+    base = G.Params(
+        xyz=jnp.arange(12, dtype=jnp.float32).reshape(4, 3),
+        log_scales=jnp.ones((4, 2)), quats=jnp.ones((4, 4)),
+        opacity_logit=jnp.ones((4, 1)), rgb=jnp.ones((4, 3)),
+    )
+    gm = G.add_params(gm, base, jnp.array([True, True, True, True]))
+    assert int(gm.n_active) == 4
+
+    donor = G.Params(
+        xyz=100.0 + jnp.arange(9, dtype=jnp.float32).reshape(3, 3),
+        log_scales=2 * jnp.ones((3, 2)), quats=2 * jnp.ones((3, 4)),
+        opacity_logit=2 * jnp.ones((3, 1)), rgb=2 * jnp.ones((3, 3)),
+    )
+    # middle donor row inactive -> compacted out
+    gm2 = G.add_params(gm, donor, jnp.array([True, False, True]))
+    assert int(gm2.n_active) == 6
+    np.testing.assert_allclose(np.asarray(gm2.params.xyz[:4]),
+                               np.asarray(base.xyz))
+    np.testing.assert_allclose(np.asarray(gm2.params.xyz[4]),
+                               np.asarray(donor.xyz[0]))
+    np.testing.assert_allclose(np.asarray(gm2.params.xyz[5]),
+                               np.asarray(donor.xyz[2]))
+    assert bool(jnp.all(gm2.active[:6])) and not bool(jnp.any(gm2.active[6:]))
+    # appended rows start with zero Adam moments
+    np.testing.assert_allclose(np.asarray(gm2.m.xyz[4:6]), 0.0)
+    np.testing.assert_allclose(np.asarray(gm2.v.xyz[4:6]), 0.0)
