@@ -134,10 +134,10 @@ config = dict(
         capacity_quantum=1 << 17,
         capacity_margin=1.2,
         # consecutive mapping iterations sharing one binning. Measured
-        # A/B at 340x600/30 frames: rebin_every=4 costs ~1.2 dB PSNR
-        # (20.4 vs 21.6) for ~17% faster mapping — leave at exact
-        # reference parity (1); the knob stays for throughput-first runs.
-        mapping_rebin_every=1,
+        # A/B at 340x600/30 frames (PSNR): rebin=1 21.59, rebin=2 22.26,
+        # rebin=4 20.38 — run noise is ~±0.9 dB, so 2 is quality-neutral
+        # and ~10% faster; only 4 shows a clear staleness cost.
+        mapping_rebin_every=2,
         # pre-size the maps so the capacity bucket NEVER flips mid-run:
         # every flip re-traces + re-lowers every jitted program (seconds
         # to minutes on a slow host). Frontend is bounded by tau_l; the
