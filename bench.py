@@ -34,10 +34,8 @@ W = int(os.environ.get("BENCH_W", 600))
 # mapping/tracking/prune path. With the capacity floors pinned
 # (configs/synthetic tpu.frontend_capacity/backend_capacity) no further
 # shapes appear, so frames past cut 2 are honest steady state.
-# 24-frame window (2+ submap cycles) to average out host/tunnel
-# variance — single-cycle windows swing +-40% run to run
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", 44))
-WARM = int(os.environ.get("BENCH_WARM", 20))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", 34))
+WARM = int(os.environ.get("BENCH_WARM", 22))
 
 
 def main():

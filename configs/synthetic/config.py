@@ -146,7 +146,7 @@ config = dict(
         # must cover the MERGE PEAK (steady global map + one full donor
         # submap, before prune compacts), or submap merges flip the
         # bucket and re-trace the backend program set mid-run
-        backend_capacity=-(-int(h * w * 3.2) // (1 << 17)) * (1 << 17),
+        backend_capacity=-(-int(h * w * 2.0) // (1 << 17)) * (1 << 17),
     ),
     viz=dict(viz_w=w, viz_h=h, view_scale=1, mesh_every=5,
              gen_animation=False, video_freq=30),
