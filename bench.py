@@ -86,7 +86,7 @@ def main():
             t_mark = time.perf_counter()
         color, depth, _, c2w = frames[t]
         _tf0 = time.perf_counter()
-        frontend.process_frame(t, np.asarray(color) / 255.0,
+        frontend.process_frame(t, np.asarray(color, np.float32) / np.float32(255),
                                np.asarray(depth), c2w)
         _tf1 = time.perf_counter()
         while not to_backend.empty():

@@ -83,7 +83,7 @@ def rgbd_slam(config: dict, backend: str = "pallas",
         depth = np.asarray(depth)
         if depth.ndim == 3:
             depth = depth[..., 0]
-        frontend.process_frame(t, np.asarray(color) / 255.0, depth, c2w)
+        frontend.process_frame(t, np.asarray(color, np.float32) / np.float32(255), depth, c2w)
         submap_done = False
         while not to_backend.empty():
             backend_.process_localmap(to_backend.get(), multi_process=False)

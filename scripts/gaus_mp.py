@@ -37,7 +37,7 @@ def datafeeder(dataset, num_frames, data_flow: queue.Queue,
         depth = np.asarray(depth)
         if depth.ndim == 3:
             depth = depth[..., 0]
-        data_flow.put((t, np.asarray(color) / 255.0, depth, c2w))
+        data_flow.put((t, np.asarray(color, np.float32) / np.float32(255), depth, c2w))
     data_flow.put("finish")
 
 
