@@ -50,6 +50,11 @@ config = dict(
     ),
     frontend=dict(
         num_tracking_iters=num_tracking_iter,
+        # coarse-to-fine tracking: early iterations render a stride-2
+        # tile checkerboard from the same pair cache (quality-free on
+        # the synthetic A/B — best ATE of all variants; PERF.md)
+        coarse_iters=int(num_tracking_iter * 0.6),
+        coarse_stride=2,
         num_mapping_iters=localmap_max_frames,
         converged_th=-1,
         tau_k=0.01 if not wo_keyframe else -1,

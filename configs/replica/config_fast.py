@@ -47,6 +47,11 @@ config = dict(
     ),
     frontend=dict(
         num_tracking_iters=num_tracking_iter,
+        # coarse-to-fine tracking: early iterations render a stride-2
+        # tile checkerboard from the same pair cache (quality-free on
+        # the synthetic A/B — best ATE of all variants; PERF.md)
+        coarse_iters=int(num_tracking_iter * 0.6),
+        coarse_stride=2,
         num_mapping_iters=num_mapping_iters,
         converged_th=5e-4,
         tau_k=0.15,
