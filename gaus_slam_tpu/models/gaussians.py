@@ -89,14 +89,45 @@ def empty_map(capacity: int) -> GaussianMap:
     )
 
 
-def bucket_capacity(n: int, quantum: int = 1 << 16) -> int:
-    """Round capacity up so recompiles happen on bucket changes only."""
-    n = max(n, quantum)
-    b = quantum
-    while b < n:
-        b *= 2 if b < (1 << 20) else 1.5
-        b = int(-(-b // quantum) * quantum)
-    return b
+def bucket_capacity(n: int, quantum: int = 1 << 16, margin: float = 1.0,
+                    floor: int = 0) -> int:
+    """Quantized capacity bucket for ``n`` active gaussians: jitted step
+    programs key their compile caches on the array capacity, so all
+    growth happens in ``quantum`` steps with an optional safety margin
+    and a floor that pins the bucket for a whole run (every flip
+    re-traces the program set — PERF.md trace-storm note)."""
+    cap = max(quantum, -(-int(n * margin) // quantum) * quantum)
+    return max(cap, floor)
+
+
+def resize_map(gm: GaussianMap, cap: int) -> GaussianMap:
+    """Pad (or truncate) every map array to capacity ``cap``. Inactive
+    rows keep identity quats so the preprocess math stays benign.
+    The TPU-native analogue of the reference's torch optimizer-state
+    surgery on grow (scene/Gaussians.py:143-184)."""
+    if cap == gm.capacity:
+        return gm
+
+    def resize(x):
+        if cap > x.shape[0]:
+            pad = [(0, cap - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad)
+        return x[:cap]
+
+    params = Params(*(resize(p) for p in gm.params))
+    params = params._replace(
+        quats=jnp.where(
+            (jnp.arange(cap) < gm.n_active)[:, None],
+            params.quats,
+            jnp.zeros((cap, 4)).at[:, 0].set(1.0),
+        )
+    )
+    return gm._replace(
+        params=params,
+        m=Params(*(resize(p) for p in gm.m)),
+        v=Params(*(resize(p) for p in gm.v)),
+        active=resize(gm.active),
+    )
 
 
 def create_from_points_masked(

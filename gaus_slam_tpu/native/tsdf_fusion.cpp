@@ -105,45 +105,69 @@ void tsdf_integrate(void* h, const float* depth, const float* color, int height,
     for (int j = 0; j < 3; j++) t[i] -= R[i * 3 + j] * c2w[j * 4 + 3];
   }
 
-  // allocate + update voxels along each back-projected ray band
+  // Phase 1 — allocate + collect the blocks touched by this frame's
+  // depth band (one march per pixel). Phase 2 then updates EVERY voxel
+  // of each touched block by projecting its center into the image
+  // (Open3D ScalableTSDFVolume semantics). The old per-pixel voxel
+  // update left lateral gaps whenever the pixel footprint (z/f)
+  // exceeded the voxel size — low-res depth then produced no complete
+  // marching cells at all.
+  std::unordered_map<BlockKey, Block*, BlockHash> touched;
+  const float bsz = vs * BLOCK;
   for (int py = 0; py < height; py++) {
     for (int px = 0; px < width; px++) {
       float d = depth[py * width + px];
       if (d <= 0 || d > depth_trunc) continue;
-      // march voxels in the truncation band around the surface point
-      for (float off = -tr; off <= tr; off += vs) {
+      // pad the band by one block so boundary cells get 8 neighbors
+      for (float off = -tr - bsz; off <= tr + bsz; off += vs) {
         float z = d + off;
         if (z <= 0.05f) continue;
         float xc = (px - cx) / fx * z, yc = (py - cy) / fy * z;
-        // world point
         float wx = c2w[0] * xc + c2w[1] * yc + c2w[2] * z + c2w[3];
         float wy = c2w[4] * xc + c2w[5] * yc + c2w[6] * z + c2w[7];
         float wz = c2w[8] * xc + c2w[9] * yc + c2w[10] * z + c2w[11];
-        int vx = (int)std::floor(wx / vs), vy = (int)std::floor(wy / vs),
-            vz = (int)std::floor(wz / vs);
-        Voxel* vox = vol.touch(vx, vy, vz);
-        // proper SDF at the voxel center (projective)
-        float cxw = (vx + 0.5f) * vs, cyw = (vy + 0.5f) * vs,
-              czw = (vz + 0.5f) * vs;
-        float qx = R[0] * cxw + R[1] * cyw + R[2] * czw + t[0];
-        float qy = R[3] * cxw + R[4] * cyw + R[5] * czw + t[1];
-        float qz = R[6] * cxw + R[7] * cyw + R[8] * czw + t[2];
-        if (qz <= 0.05f) continue;
-        int ui = (int)std::lround(qx / qz * fx + cx);
-        int vi = (int)std::lround(qy / qz * fy + cy);
-        if (ui < 0 || ui >= width || vi < 0 || vi >= height) continue;
-        float dm = depth[vi * width + ui];
-        if (dm <= 0 || dm > depth_trunc) continue;
-        float sdf = dm - qz;
-        if (sdf < -tr) continue;
-        float tsdf = sdf > tr ? 1.0f : sdf / tr;
-        float w0 = vox->weight, w1 = w0 + 1.0f;
-        vox->tsdf = (vox->tsdf * w0 + tsdf) / w1;
-        const float* c = &color[(vi * width + ui) * 3];
-        vox->r = (vox->r * w0 + c[0]) / w1;
-        vox->g = (vox->g * w0 + c[1]) / w1;
-        vox->b = (vox->b * w0 + c[2]) / w1;
-        vox->weight = w1;
+        BlockKey k{(int32_t)std::floor(wx / bsz),
+                   (int32_t)std::floor(wy / bsz),
+                   (int32_t)std::floor(wz / bsz)};
+        if (touched.count(k)) continue;
+        auto it = vol.blocks.find(k);
+        if (it == vol.blocks.end())
+          it = vol.blocks.emplace(k, new Block()).first;
+        touched.emplace(k, it->second);
+      }
+    }
+  }
+
+  for (auto& kv : touched) {
+    const BlockKey& k = kv.first;
+    Block* blk = kv.second;
+    for (int lz = 0; lz < BLOCK; lz++) {
+      for (int ly = 0; ly < BLOCK; ly++) {
+        for (int lx = 0; lx < BLOCK; lx++) {
+          float cxw = (k.x * BLOCK + lx + 0.5f) * vs;
+          float cyw = (k.y * BLOCK + ly + 0.5f) * vs;
+          float czw = (k.z * BLOCK + lz + 0.5f) * vs;
+          float qx = R[0] * cxw + R[1] * cyw + R[2] * czw + t[0];
+          float qy = R[3] * cxw + R[4] * cyw + R[5] * czw + t[1];
+          float qz = R[6] * cxw + R[7] * cyw + R[8] * czw + t[2];
+          if (qz <= 0.05f) continue;
+          int ui = (int)std::lround(qx / qz * fx + cx);
+          int vi = (int)std::lround(qy / qz * fy + cy);
+          if (ui < 0 || ui >= width || vi < 0 || vi >= height) continue;
+          float dm = depth[vi * width + ui];
+          if (dm <= 0 || dm > depth_trunc) continue;
+          float sdf = dm - qz;
+          if (sdf < -tr) continue;
+          float tsdf = sdf > tr ? 1.0f : sdf / tr;
+          Voxel* vox = &blk->v[(lz * BLOCK + ly) * BLOCK + lx];
+          float w0 = vox->weight, w1 = w0 + 1.0f;
+          vox->tsdf = (vox->tsdf * w0 + tsdf) / w1;
+          const float* c = &color[(vi * width + ui) * 3];
+          vox->r = (vox->r * w0 + c[0]) / w1;
+          vox->g = (vox->g * w0 + c[1]) / w1;
+          vox->b = (vox->b * w0 + c[2]) / w1;
+          vox->weight = w1;
+        }
       }
     }
   }

@@ -40,10 +40,13 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
 
 def _ba_loss(params, active, w2c, gt_tiled, cam_proj, opts, lcfg):
     cam = cam_proj.replace_w2c(w2c)
-    out, _ = render_full(params, active, cam, opts,
-                         need_normal=opts.normals_in_tracking)
+    out, bins = render_full(params, active, cam, opts,
+                            need_normal=opts.normals_in_tracking)
     loss, _ = mapping_loss(out, gt_tiled, lcfg)
-    return loss
+    # binning diagnostics ride along so the caller's escalation ladder
+    # sees overflow on the sharded path too (rasterizer_impl.cu:283-291
+    # analogue)
+    return loss, (bins.overflow, bins.n_shrunk)
 
 
 @functools.lru_cache(maxsize=16)
@@ -68,20 +71,20 @@ def _build_step(mesh: Mesh, opts: RenderOptions, mcfg, lcfg: LossConfig,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,
     )
     def grad_step(params, active, w2c_shard, gt_shard):
-        loss, grads = jax.value_and_grad(_ba_loss)(
-            params, active, w2c_shard[0], gt_shard[0],
-            cam_proj, opts, lcfg,
-        )
-        return jax.tree.map(lambda g: g[None], grads), loss[None]
+        (loss, (ov, ns)), grads = jax.value_and_grad(
+            _ba_loss, has_aux=True
+        )(params, active, w2c_shard[0], gt_shard[0], cam_proj, opts, lcfg)
+        return (jax.tree.map(lambda g: g[None], grads), loss[None],
+                ov[None], ns[None])
 
     @jax.jit
     def step(gm, w2cs, gt_tiled, weights):
-        grads_stacked, losses = grad_step(gm.params, gm.active, w2cs,
-                                          gt_tiled)
+        grads_stacked, losses, ovs, nss = grad_step(
+            gm.params, gm.active, w2cs, gt_tiled)
         wsum = jnp.maximum(jnp.sum(weights), 1e-9)
 
         def wmean(g):
@@ -90,8 +93,11 @@ def _build_step(mesh: Mesh, opts: RenderOptions, mcfg, lcfg: LossConfig,
 
         grads = jax.tree.map(wmean, grads_stacked)
         loss = jnp.sum(losses * weights) / wsum
+        live = weights > 0
+        diag = {"overflow": jnp.any(ovs & live),
+                "n_shrunk": jnp.max(jnp.where(live, nss, 0))}
         return G.adam_step(gm, grads, dict(mcfg.lrs), mcfg.betas,
-                           mcfg.eps), loss
+                           mcfg.eps), loss, diag
 
     return step
 
@@ -111,6 +117,9 @@ def sharded_ba_step(
     parallel, map gradients all-reduced, one Adam step on the replicated
     map. ``weights`` lets a partially-filled group (fewer live keyframes
     than devices) contribute an unbiased gradient mean.
+
+    Returns (map, loss, diag) where diag carries the OR/max-reduced
+    binning overflow diagnostics of the live shards.
     """
     if weights is None:
         weights = jnp.ones((w2cs.shape[0],), jnp.float32)

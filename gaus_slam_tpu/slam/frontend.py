@@ -32,7 +32,7 @@ from ..render import bin_for_tracking, bin_full, render_view
 from ..utils.config import SystemConfig
 from .densify import add_new_gaussians, prune_gaussians
 from .init_map import initialize_map
-from .steps import mapping_step, tracking_loop
+from .steps import fold_diags, mapping_loop, mapping_step, tracking_loop
 
 
 def _sync(x):
@@ -77,6 +77,12 @@ class Frontend:
         # bucket(tau_l * margin) removes all frontend bucket flips.
         self.capacity_floor = int(config.get("tpu", {}).get(
             "frontend_capacity", 0))
+        # keyframe-coverage view folded into the tracking program
+        # (renders from the tracking pair cache at the final pose —
+        # same staleness assumption as tracking itself); off = exact
+        # reference semantics (fresh full binning via render_view)
+        self.fused_kf_view = bool(config.get("tpu", {}).get(
+            "fused_kf_view", True))
 
         self.map: G.GaussianMap | None = None
         self.local_frames: list[Frame] = []
@@ -96,9 +102,8 @@ class Frontend:
 
     # ------------------------------------------------------------------
     def _capacity_for(self, n: int) -> int:
-        q = self.capacity_quantum
-        cap = max(q, -(-int(n * self.capacity_margin) // q) * q)
-        return max(cap, self.capacity_floor)
+        return G.bucket_capacity(n, self.capacity_quantum,
+                                 self.capacity_margin, self.capacity_floor)
 
     def _fit_capacity(self):
         """Grow (or shrink with hysteresis) the map arrays so jitted step
@@ -106,31 +111,9 @@ class Frontend:
         gm = self.map
         n = int(gm.n_active)
         cap = self._capacity_for(n)
-        if cap == gm.capacity or (cap < gm.capacity and
-                                  n > 0.35 * gm.capacity):
+        if cap < gm.capacity and n > 0.35 * gm.capacity:
             return
-
-        def resize(x):
-            if cap > x.shape[0]:
-                pad = [(0, cap - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-                return jnp.pad(x, pad)
-            return x[:cap]
-
-        params = G.Params(*(resize(p) for p in gm.params))
-        # keep inactive quats at identity for benign preprocess numerics
-        params = params._replace(
-            quats=jnp.where(
-                (jnp.arange(cap) < gm.n_active)[:, None],
-                params.quats,
-                jnp.zeros((cap, 4)).at[:, 0].set(1.0),
-            )
-        )
-        self.map = gm._replace(
-            params=params,
-            m=G.Params(*(resize(p) for p in gm.m)),
-            v=G.Params(*(resize(p) for p in gm.v)),
-            active=resize(gm.active),
-        )
+        self.map = G.resize_map(gm, cap)
 
     def _tile_gt(self, frame: Frame):
         if getattr(frame, "gt_tiled", None) is None:
@@ -168,7 +151,11 @@ class Frontend:
                   f"{new.opts.max_tiles_per_gaussian}")
             self.sys = new
 
-    def tracking(self, frame: Frame) -> float:
+    def tracking(self, frame: Frame, want_view: bool = False):
+        """Returns (depth_l1, view_render|None, n_low|None). With
+        ``want_view`` the final-pose render + its low-alpha pixel count
+        come back from the SAME program and readback as the tracking
+        loop — the keyframe test costs no extra dispatch or sync."""
         s = self.sys
         t0 = time.perf_counter()
         cam0 = s.cam.replace_w2c(frame.pose.w2c)
@@ -178,15 +165,22 @@ class Frontend:
             t_bin = time.perf_counter() - t0
         pose, aux = tracking_loop(
             cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
-            s.track_front, s.lcfg,
+            s.track_front, s.lcfg, want_view=want_view,
         )
         frame.pose = pose
         # ONE fused readback for everything the host needs this frame
         # (each device_get through the tunnel costs ~1ms + a full drain)
-        host = jax.device_get({
+        fetch = {
             "overflow": cache.overflow, "n_shrunk": cache.n_shrunk,
             "iters": aux["iters"], "depth_l1": aux["depth_l1"],
-        })
+        }
+        if want_view:
+            fetch["n_low"] = aux["n_low"]
+        ts0 = time.perf_counter()
+        host = jax.device_get(fetch)
+        # device-drain wait vs host dispatch split (bench reporting)
+        self.t_sync_acc = (getattr(self, "t_sync_acc", 0.0)
+                           + time.perf_counter() - ts0)
         self._check_escalation(host)
         iters = int(host["iters"])
         if os.environ.get("GAUS_PROFILE"):
@@ -196,15 +190,49 @@ class Frontend:
         dt = time.perf_counter() - t0
         self.t_track_iter[0] += dt
         self.t_track_iter[1] += max(iters, 1)
-        return float(host["depth_l1"])
+        return (float(host["depth_l1"]), aux.get("view"),
+                host.get("n_low"))
 
     def mapping(self, frames=None):
         s = self.sys
         frames = frames or self.local_frames
+        # fused path: the whole mapping schedule (K rebin-groups x
+        # rebin_every Adam steps) as ONE dispatched program — the
+        # per-step host loop pays ~1ms dispatch + pytree plumbing per
+        # iteration through the tunneled device
+        fused_ok = (not s.lcfg.enable_exposure
+                    and not self.additional_densify
+                    and self.num_mapping_iters % self.rebin_every == 0)
+        if fused_ok:
+            t0 = time.perf_counter()
+            k = self.num_mapping_iters // self.rebin_every
+            sel = [self.rng.choice(frames) for _ in range(k)]
+            w2cs = jnp.stack(
+                [jnp.asarray(f.get_w2c, jnp.float32) for f in sel])
+            gts = jnp.stack([self._tile_gt(f) for f in sel])
+            gm, aux = mapping_loop(self.map, w2cs, gts, s.cam, s.opts,
+                                   s.mcfg, s.lcfg,
+                                   rebin_every=self.rebin_every)
+            self.map = gm
+            for f in sel:
+                f.mapping_times += self.rebin_every
+            ts0 = time.perf_counter()
+            self._check_escalation(jax.device_get(
+                {"overflow": aux["overflow"], "n_shrunk": aux["n_shrunk"]}))
+            self.t_sync_acc = (getattr(self, "t_sync_acc", 0.0)
+                               + time.perf_counter() - ts0)
+            dt = time.perf_counter() - t0
+            if os.environ.get("GAUS_PROFILE"):
+                print(f"[prof] frontend mapping x{self.num_mapping_iters} "
+                      f"(fused): {dt*1000:.0f}ms")
+            self.t_map_iter[0] += dt
+            self.t_map_iter[1] += self.num_mapping_iters
+            return
+
         exp_dummy = init_exposure()
         t0 = time.perf_counter()
         n_steps = 0
-        aux = None
+        diags = []  # per-step binning diagnostics (device scalars)
         it = 0
         while it < self.num_mapping_iters:
             frame: Frame = self.rng.choice(frames)
@@ -229,6 +257,7 @@ class Frontend:
                     bins=bins,
                 )
                 self.map = gm
+                diags.append(aux)
                 if frame.exposure is not None:
                     frame.exposure = exp
                 frame.mapping_times += 1
@@ -240,10 +269,14 @@ class Frontend:
                     self._densify(frame)
                     break  # map rows changed: stale bins, resample
         # one readback fences the whole (sequentially dependent) loop —
-        # per-iteration syncs serialize dispatch through the device tunnel
-        if aux is not None:
-            self._check_escalation(jax.device_get(
-                {k: aux[k] for k in ("overflow", "n_shrunk") if k in aux}))
+        # per-iteration syncs serialize dispatch through the device
+        # tunnel. fold_diags accumulates across EVERY iteration so a
+        # transient mid-loop overflow still escalates.
+        if diags:
+            ts0 = time.perf_counter()
+            self._check_escalation(jax.device_get(fold_diags(diags)))
+            self.t_sync_acc = (getattr(self, "t_sync_acc", 0.0)
+                               + time.perf_counter() - ts0)
         dt = time.perf_counter() - t0
         if os.environ.get("GAUS_PROFILE"):
             print(f"[prof] frontend mapping x{n_steps}: {dt*1000:.0f}ms "
@@ -292,7 +325,17 @@ class Frontend:
             self.vel = np.eye(4, dtype=np.float32)
         initial_w2c = self.vel @ np.asarray(last.get_w2c)
         cur.start_optimizer(initial_w2c, s.lcfg.enable_exposure)
-        depth_l1 = self.tracking(cur)
+        # the keyframe-coverage view rides along with tracking unless the
+        # submap will be cut anyway (then it's never consumed). Whether a
+        # cut happens depends on depth_l1, known only after tracking; the
+        # map-size/max-frames cuts are known now, which covers all cuts
+        # when retracking is off.
+        may_need_view = not (
+            len(self.local_frames) > self.max_frames
+            or int(self.map.n_active) > self.tau_l
+        )
+        depth_l1, view_out, n_low = self.tracking(
+            cur, want_view=may_need_view and self.fused_kf_view)
         self.depth_l1_rec.append(depth_l1)
 
         tracking_flag = (depth_l1 < self.avg_depth_l1 * 5
@@ -319,13 +362,20 @@ class Frontend:
             )
 
         if not is_refkf:
-            w2c = jax.lax.stop_gradient(cur.get_w2c)
-            out = render_view(self.map, s.cam.replace_w2c(w2c), s.opts)
-            alpha = out[:, 4]
-            # padded pixels never accumulate alpha; subtract their count
             hw = s.cam.height * s.cam.width
-            n_low = float(jnp.sum(alpha < 0.5)) - (alpha.size - hw)
-            if n_low > hw * self.tau_k:
+            if n_low is not None:
+                # fused path: the view + count came back with tracking
+                out = view_out
+                pad = s.opts.grid.num_tiles * s.opts.grid.pixels_per_tile \
+                    - hw
+                n_low_val = float(n_low) - pad
+            else:
+                w2c = jax.lax.stop_gradient(cur.get_w2c)
+                out = render_view(self.map, s.cam.replace_w2c(w2c), s.opts)
+                alpha = out[:, 4]
+                # padded pixels never accumulate alpha; subtract them
+                n_low_val = float(jnp.sum(alpha < 0.5)) - (alpha.size - hw)
+            if n_low_val > hw * self.tau_k:
                 map_t0 = time.perf_counter()
                 cur.frame_type = 1  # KF
                 self._densify(cur, render_out=out)

@@ -10,10 +10,12 @@ drained the submap's task queue) and contains:
     dashboards series, and per-submap trajectory records (est/gt w2c of
     every frame) so evaluation works after resume.
 
-Restore rebuilds the SLAM state at that boundary; the one documented
-difference vs an uninterrupted run is that restored submaps drop their
-retained keyframe images, so the backend's covis-mapping tasks skip
-pre-checkpoint submaps (it keeps refining new ones).
+Restore rebuilds the SLAM state at that boundary. Retained keyframe
+images are NOT stored in the checkpoint — restore reloads them from the
+dataset by ``time_idx`` (it gets the dataset), so restored submaps keep
+their ``saved_idxs`` and the backend's covis-mapping/tracking tasks
+continue to refine pre-checkpoint submaps exactly like an uninterrupted
+run (r2 weak #6).
 """
 from __future__ import annotations
 
@@ -72,6 +74,7 @@ def save_run_state(path: str, frontend, backend,
             "lmid": lm.lmid,
             "tracking_ok": bool(lm.tracking_ok),
             "mapping_times": int(lm.mapping_times),
+            "saved_idxs": [int(i) for i in lm.saved_idxs],
             "ref2f0": np.asarray(lm.ref2f0).tolist(),
             "map_desc": np.asarray(lm.map_desc).tolist(),
             "frames": [{
@@ -84,6 +87,15 @@ def save_run_state(path: str, frontend, backend,
         })
     meta = {
         "next_frame_idx": int(next_frame_idx),
+        # the frontend's live (uncut) submap — the pipelined driver can
+        # checkpoint mid-submap, several frames past the RKF
+        "cur_frames": [{
+            "time_idx": int(f.time_idx),
+            "frame_type": int(f.frame_type),
+            "kfid": int(f.kfid),
+            "mapping_times": int(f.mapping_times),
+            "w2c": np.asarray(f.get_w2c).tolist(),
+        } for f in frontend.local_frames],
         "cur_lmid": int(frontend.cur_lmid),
         "vel": np.asarray(frontend.vel).tolist(),
         "avg_depth_l1": float(frontend.avg_depth_l1),
@@ -123,37 +135,59 @@ def restore_run_state(path: str, frontend, backend, dataset) -> int:
     frontend.numpts_rec = list(meta["numpts_rec"])
     frontend.tracking_flag = bool(meta["tracking_flag"])
 
-    # the current submap's reference keyframe is the cut frame
-    # (= next_idx - 1); its map state is already in frontend.map
-    rkf_idx = next_idx - 1
-    color, depth, _, c2w = dataset[rkf_idx]
-    depth = np.asarray(depth)
-    if depth.ndim == 3:
-        depth = depth[..., 0]
-    cur = Frame(time_idx=rkf_idx, gt_color=jnp.asarray(color) / 255.0,
-                gt_depth=jnp.asarray(depth),
-                gt_w2c=np.linalg.inv(np.asarray(c2w)),
-                kfid=frontend.cur_lmid, frame_type=0)
-    cur.start_optimizer(np.eye(4, dtype=np.float32),
-                        frontend.sys.lcfg.enable_exposure)
-    frontend.local_frames = [cur]
+    # rebuild the live (uncut) submap: every frame keeps its image until
+    # the cut, so reload them all from the dataset by time_idx
+    frontend.local_frames = []
+    for fm in meta["cur_frames"]:
+        color, depth, _, c2w = dataset[fm["time_idx"]]
+        depth = np.asarray(depth)
+        if depth.ndim == 3:
+            depth = depth[..., 0]
+        fr = Frame(time_idx=fm["time_idx"],
+                   gt_color=jnp.asarray(
+                       np.asarray(color, np.float32) / np.float32(255)),
+                   gt_depth=jnp.asarray(depth),
+                   gt_w2c=np.linalg.inv(np.asarray(c2w)),
+                   kfid=fm["kfid"], frame_type=fm["frame_type"])
+        fr.est_w2c = np.asarray(fm["w2c"], np.float32)
+        fr.mapping_times = int(fm["mapping_times"])
+        frontend.local_frames.append(fr)
+    # the last frame is "last" for the next process_frame's velocity
+    # model; a fresh pose optimizer starts per frame, so est_w2c is
+    # enough (checkpoints are only written between frames)
+    frontend.local_frames[-1].start_optimizer(
+        frontend.local_frames[-1].est_w2c,
+        frontend.sys.lcfg.enable_exposure)
 
     if backend is not None and "backend_map" in state:
         backend.map = _map_from(state["backend_map"])
         backend.totalpts_rec = list(meta["totalpts_rec"])
         backend.ape_rec = list(meta["ape_rec"])
         for i, lmm in enumerate(meta["localmaps"]):
+            saved_idxs = [int(x) for x in lmm.get("saved_idxs", [])]
             frames = []
-            for fm in lmm["frames"]:
-                fr = Frame(time_idx=fm["time_idx"], gt_color=None,
-                           gt_depth=None,
+            for fidx, fm in enumerate(lmm["frames"]):
+                gt_color = gt_depth = None
+                if fidx in saved_idxs:
+                    # retained keyframes reload their images from the
+                    # dataset so backend refinement keeps working on
+                    # restored submaps (r2 weak #6)
+                    color, depth, _, _ = dataset[fm["time_idx"]]
+                    d = np.asarray(depth, np.float32)
+                    if d.ndim == 3:
+                        d = d[..., 0]
+                    gt_color = jnp.asarray(
+                        np.asarray(color, np.float32) / np.float32(255))
+                    gt_depth = jnp.asarray(d)
+                fr = Frame(time_idx=fm["time_idx"], gt_color=gt_color,
+                           gt_depth=gt_depth,
                            gt_w2c=np.asarray(fm["gt_w2c"], np.float32),
                            kfid=fm["kfid"], frame_type=fm["frame_type"])
                 fr.est_w2c = np.asarray(fm["est_w2c"], np.float32)
                 frames.append(fr)
             lm = LocalMap(lmid=lmm["lmid"], frames=frames, map_params=None,
                           tracking_ok=lmm["tracking_ok"],
-                          saved_idxs=[],  # images dropped across resume
+                          saved_idxs=saved_idxs,
                           ref2f0=np.asarray(lmm["ref2f0"], np.float32))
             lm.mapping_times = int(lmm["mapping_times"])
             lm.map_desc = np.asarray(lmm["map_desc"], np.float32)

@@ -110,11 +110,13 @@ def eval_final(
     for entry in pending:
         drain(entry)
 
+    finite_lpips = [v for v in lpipss if np.isfinite(v)]
     result = {
         "PSNR": float(np.mean(psnrs)),
         "MS-SSIM": float(np.mean(ssims)),
-        "LPIPS": float(np.nanmean(lpipss)) if lpipss else float("nan"),
-        **({} if lpipss and np.isfinite(np.nanmean(lpipss)) else {
+        "LPIPS": float(np.mean(finite_lpips)) if finite_lpips
+        else float("nan"),
+        **({} if finite_lpips else {
             "lpips_note": "no weights found; export with "
             "tools/export_lpips_weights.py and set $LPIPS_WEIGHTS"}),
         "Depth RMSE": float(np.mean(rmses)),
@@ -123,6 +125,30 @@ def eval_final(
         "ATE stats": ate,
         "num_gaussians": int(gm.n_active),
     }
+    if config.get("eval", {}).get("eval_mesh", False):
+        # TSDF-fuse the renders, score vs the gt mesh / unseen pointcloud
+        # assets (or the depth-unprojection fallback) and emit
+        # reconstruction_metrics.json (reference utils/eval.py:337-399,
+        # 458-481 + eval_mesh.py:259-291)
+        from .eval_mesh import evaluate_reconstruction, load_gt_mesh_assets
+
+        ecfg = config["eval"]
+        try:
+            gt_mesh, unseen_pc, gt_points = load_gt_mesh_assets(
+                config, dataset)
+            mesh_metrics = evaluate_reconstruction(
+                config, gm, w2cs, gt_points, out_dir=out_dir,
+                backend=backend,
+                mesh_interval=int(ecfg.get("mesh_interval", 5)),
+                voxel_size=float(ecfg.get("voxel_size", 0.01)),
+                gt_mesh=gt_mesh, unseen_pc=unseen_pc,
+            )
+            result["Mesh F-score"] = mesh_metrics.get("fscore")
+            result["Mesh precision"] = mesh_metrics.get("precision")
+            result["Mesh recall"] = mesh_metrics.get("recall")
+        except Exception as e:  # noqa: BLE001 (ref wraps mesh eval in try)
+            print(f"mesh evaluation failed: {e}")
+
     with open(os.path.join(out_dir, "result.json"), "w") as f:
         json.dump(result, f, indent=2)
     for name, vals in (("psnr", psnrs), ("ssim", ssims), ("lpips", lpipss),

@@ -100,6 +100,93 @@ def fuse_render_mesh(config, gm, w2cs, out_dir=None, backend="pallas",
     return verts, cols, tris
 
 
+def clean_mesh(verts, cols, tris, min_len=200):
+    """Drop connected components with fewer than ``min_len`` vertices
+    (reference eval_mesh.clean_mesh, :200-256 — trimesh connected
+    components replaced by scipy sparse connected_components over the
+    vertex-adjacency graph)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    n = len(verts)
+    if n == 0 or len(tris) == 0:
+        return verts, cols, tris
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    adj = coo_matrix((np.ones(len(e), np.int8), (e[:, 0], e[:, 1])),
+                     shape=(n, n))
+    _, labels = connected_components(adj, directed=False)
+    counts = np.bincount(labels)
+    keep_v = counts[labels] >= min_len
+    remap = np.cumsum(keep_v) - 1
+    keep_t = keep_v[tris].all(axis=1)
+    new_tris = remap[tris[keep_t]].astype(np.int32)
+    # drop degenerate faces (reference: update_faces(nondegenerate))
+    nondeg = ((new_tris[:, 0] != new_tris[:, 1])
+              & (new_tris[:, 1] != new_tris[:, 2])
+              & (new_tris[:, 0] != new_tris[:, 2]))
+    new_cols = cols[keep_v] if cols is not None and len(cols) == n else cols
+    print(f"Mesh cleaning (before/after), vertices: {n}/{int(keep_v.sum())},"
+          f" faces: {len(tris)}/{int(nondeg.sum())}")
+    return verts[keep_v], new_cols, new_tris[nondeg]
+
+
+def load_gt_mesh_assets(config: dict, dataset=None, n_gt_points=500_000,
+                        seed=0):
+    """Ground-truth geometry for mesh scoring.
+
+    Primary path (reference utils/eval.py:468-475): the Replica-style
+    asset layout ``{meshdir}/{sequence}.ply`` (culled gt mesh) +
+    ``{meshdir}/{sequence}_pc_unseen.npy`` (pointcloud of regions the
+    trajectory never sees, used by calc_2d_metric's view rejection).
+
+    Fallback (no gt mesh on disk, e.g. the synthetic scene): build the
+    gt surface pointcloud by unprojecting the dataset's gt depth along
+    the gt trajectory — the contract stays exercisable without Replica
+    assets. Returns (gt_mesh|None, unseen_pc|None, gt_points).
+    """
+    data = config.get("data", {})
+    meshdir = data.get("meshdir")
+    seq = data.get("sequence", "")
+    if meshdir:
+        mesh_path = os.path.join(meshdir, f"{seq}.ply")
+        if os.path.exists(mesh_path):
+            from .ply import read_mesh_ply
+
+            verts, tris = read_mesh_ply(mesh_path)
+            unseen = None
+            up = os.path.join(meshdir, f"{seq}_pc_unseen.npy")
+            if os.path.exists(up):
+                unseen = np.load(up)
+            gt_points = sample_mesh_points(verts, tris, n_gt_points,
+                                           seed=seed)
+            return (verts, tris), unseen, gt_points
+    if dataset is None:
+        raise FileNotFoundError(
+            f"no gt mesh at {meshdir}/{seq}.ply and no dataset for the "
+            "unprojection fallback")
+    pts = []
+    step = max(len(dataset) // 20, 1)
+    for i in range(0, len(dataset), step):
+        _, depth, K, c2w = dataset[i]
+        d = np.asarray(depth, np.float32)
+        if d.ndim == 3:
+            d = d[..., 0]
+        K = np.asarray(K)
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        h, w = d.shape
+        v, u = np.mgrid[:h, :w]
+        m = d > 0
+        z = d[m]
+        pc = np.stack([(u[m] - cx) / fx * z, (v[m] - cy) / fy * z, z], 1)
+        c2w = np.asarray(c2w)
+        pts.append(pc @ c2w[:3, :3].T + c2w[:3, 3])
+    pts = np.concatenate(pts).astype(np.float32)
+    # voxel-dedupe to bound the cloud
+    vox = np.round(pts / 0.01).astype(np.int64)
+    _, idx = np.unique(vox, axis=0, return_index=True)
+    return None, None, pts[idx]
+
+
 def sample_mesh_points(verts: np.ndarray, tris: np.ndarray, n: int,
                        seed: int = 0) -> np.ndarray:
     """Area-weighted uniform surface sampling (trimesh.sample analogue)."""
@@ -238,11 +325,27 @@ def evaluate_reconstruction(config, gm, w2cs, gt_points, out_dir=None,
                             gt_mesh=None, unseen_pc=None, n_imgs=1000):
     """Full mesh-eval pass -> reconstruction_metrics.json contract
     (F-score/precision/recall + unseen-excluded depth-L1 when the gt
-    mesh and unseen pointcloud assets are available)."""
+    mesh and unseen pointcloud assets are available). Writes the
+    mesh/final_mesh.ply artifact like the reference (utils/eval.py:466)
+    and scores the CLEANED mesh (eval_mesh.evaluate_reconstruction,
+    :259-291)."""
     verts, cols, tris = fuse_render_mesh(
         config, gm, w2cs, out_dir=out_dir, backend=backend,
         mesh_interval=mesh_interval, voxel_size=voxel_size,
     )
+    if out_dir:
+        from .ply import write_mesh_ply
+
+        write_mesh_ply(os.path.join(out_dir, "mesh", "final_mesh.ply"),
+                       verts, tris, colors=cols)
+    cv, cc, ct = clean_mesh(verts, cols, tris)
+    if len(cv) > 0 and len(ct) > 0:  # tiny scenes: keep uncleaned mesh
+        verts, cols, tris = cv, cc, ct
+    if out_dir:
+        from .ply import write_mesh_ply
+
+        write_mesh_ply(os.path.join(out_dir, "mesh", "cleaned_mesh.ply"),
+                       verts, tris, colors=cols)
     metrics = fscore(verts, np.asarray(gt_points), threshold=threshold)
     metrics["num_vertices"] = int(len(verts))
     if gt_mesh is not None and unseen_pc is not None:

@@ -48,7 +48,13 @@ class TSDFVolume:
         )
 
     def extract_mesh(self, min_weight: float = 1.0):
-        """-> (vertices [V,3], colors [V,3], triangles [T,3])."""
+        """-> (vertices [V,3], colors [V,3], triangles [T,3]).
+
+        The native marching-tetrahedra pass emits per-tet triangles with
+        duplicated vertices; shared edges are welded here (quantized to
+        voxel_size/1024) so the mesh has real connectivity — required by
+        clean_mesh's connected-components filter and by downstream
+        viewers."""
         m = self._lib.tsdf_extract_mesh(self._h, ctypes.c_float(min_weight))
         nv = int(self._lib.mesh_num_vertices(m))
         nt = int(self._lib.mesh_num_triangles(m))
@@ -61,4 +67,15 @@ class TSDFVolume:
                 tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
         self._lib.mesh_destroy(m)
-        return verts[:, :3], verts[:, 3:], tris
+        if not nv:
+            return verts[:, :3], verts[:, 3:], tris
+        q = np.round(verts[:, :3] / (self.voxel_size / 1024.0)).astype(
+            np.int64)
+        _, first, inv = np.unique(q, axis=0, return_index=True,
+                                  return_inverse=True)
+        welded = verts[first]
+        new_tris = inv[tris].astype(np.int32)
+        nondeg = ((new_tris[:, 0] != new_tris[:, 1])
+                  & (new_tris[:, 1] != new_tris[:, 2])
+                  & (new_tris[:, 0] != new_tris[:, 2]))
+        return welded[:, :3], welded[:, 3:], new_tris[nondeg]

@@ -57,16 +57,6 @@ def save_trajectory_plot(est_w2cs, gt_w2cs, path, ate=None):
     plt.close()
 
 
-def write_dashboards(frontend, backend, out_dir):
-    """All the periodic pngs the reference emits (one-shot form of the
-    per-stage update_common_visualization methods)."""
-    del out_dir  # each stage writes under its own config vis_base_dir
-    if frontend is not None:
-        frontend.update_common_visualization()
-    if backend is not None:
-        backend.update_common_visualization()
-
-
 def frames_to_video(frames, path, fps=30):
     """Stack of [H,W,3] float 0..1 frames -> mp4 (or .gif fallback)."""
     import imageio.v2 as imageio

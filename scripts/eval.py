@@ -27,15 +27,18 @@ def main():
     print(result)
 
     if args.eval_mesh:
-        from gaus_slam_tpu.utils.eval_mesh import fuse_render_mesh
+        from gaus_slam_tpu.utils.eval_mesh import (evaluate_reconstruction,
+                                                   load_gt_mesh_assets)
 
-        verts, cols, tris = fuse_render_mesh(
-            config, gm, list(w2cs), out_dir=args.scene_dir,
+        gt_mesh, unseen_pc, gt_points = load_gt_mesh_assets(config, dataset)
+        metrics = evaluate_reconstruction(
+            config, gm, list(w2cs), gt_points, out_dir=args.scene_dir,
             backend=args.backend,
             mesh_interval=config.get("eval", {}).get("mesh_interval", 5),
             voxel_size=config.get("eval", {}).get("voxel_size", 0.01),
+            gt_mesh=gt_mesh, unseen_pc=unseen_pc,
         )
-        print(f"mesh: {len(verts)} vertices, {len(tris)} triangles")
+        print(metrics)
 
 
 if __name__ == "__main__":

@@ -26,9 +26,9 @@ import numpy as np
 
 
 def datafeeder(dataset, num_frames, data_flow: queue.Queue,
-               stop_event: threading.Event):
+               stop_event: threading.Event, start_frame: int = 0):
     """Prefetch + decode frames (reference gaus_mp.py DataFeeder:68-79)."""
-    for t in range(num_frames):
+    for t in range(start_frame, num_frames):
         if stop_event.is_set():
             return
         while data_flow.qsize() > 5:
@@ -41,10 +41,13 @@ def datafeeder(dataset, num_frames, data_flow: queue.Queue,
     data_flow.put("finish")
 
 
-def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
+def rgbd_slam(config: dict, backend: str = "pallas",
+              resume_from: str | None = None) -> dict:
     from gaus_slam_tpu.data import get_dataset
     from gaus_slam_tpu.slam.backend import Backend
     from gaus_slam_tpu.slam.frontend import Frontend
+    from gaus_slam_tpu.utils.checkpoint import (restore_run_state,
+                                                save_run_state)
     from gaus_slam_tpu.utils.config import probe_cameras
     from gaus_slam_tpu.utils.eval import eval_final
     from gaus_slam_tpu.utils.scene_io import save_scene
@@ -66,9 +69,18 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
                         backend=backend)
     backend_ = Backend(config, wandb_run=wandb_run, backend=backend)
     sleep_time = float(config["backend"].get("sleep_time", 0.01))
+    out_dir = config.get("vis_base_dir", "output")
+    save_ckpt = bool(config.get("backend", {}).get("save_ckpt", False))
+    t0_frame = 0
+    if resume_from is not None:
+        t0_frame = restore_run_state(resume_from, frontend, backend_,
+                                     dataset)
+        print(f"resumed from {resume_from} at frame {t0_frame}")
+    last_frame = t0_frame - 1
 
     feeder = threading.Thread(
-        target=datafeeder, args=(dataset, num_frames, data_flow, stop_event),
+        target=datafeeder,
+        args=(dataset, num_frames, data_flow, stop_event, t0_frame),
         daemon=True,
     )
     feeder.start()
@@ -86,6 +98,7 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
             else:
                 t, color, depth, c2w = msg
                 frontend.process_frame(t, color, depth, c2w)
+                last_frame = t
                 if t % 10 == 0:
                     # reference mp_Frontend.run:277-278
                     frontend.update_common_visualization()
@@ -93,6 +106,10 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
         if not to_backend.empty():
             backend_.process_localmap(to_backend.get(), multi_process=True)
             backend_.update_common_visualization()  # Backend.py:366
+            if save_ckpt:
+                # same resumable-checkpoint cadence as scripts/gaus.py
+                save_run_state(os.path.join(out_dir, "ckpt"), frontend,
+                               backend_, next_frame_idx=last_frame + 1)
         for _ in range(4):
             backend_.process()
         if sleep_time:
@@ -119,7 +136,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a mid-run checkpoint dir")
     args = ap.parse_args()
     from gaus_slam_tpu.utils.config import load_config
 
-    rgbd_slam(load_config(args.config), backend=args.backend)
+    rgbd_slam(load_config(args.config), backend=args.backend,
+              resume_from=args.resume)

@@ -47,12 +47,26 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
     rng = random.Random(config.get("seed", 0))
     kf_every = int(config.get("splatam", {}).get("keyframe_every", 8))
     desc_th = float(config.get("splatam", {}).get("desc_threshold", 0.8))
+    tpu_cfg = config.get("tpu", {})
+    quantum = int(tpu_cfg.get("capacity_quantum", 1 << 17))
+    margin = float(tpu_cfg.get("capacity_margin", 1.3))
+    cap_floor = int(tpu_cfg.get("backend_capacity", 0))
+
+    def fit_capacity(gm, headroom=0):
+        """Grow the single global map like the frontend does — a long
+        run must never hit the static capacity and silently drop
+        densified gaussians (add_gaussians scatters with mode='drop')."""
+        n = int(gm.n_active) + headroom
+        cap = G.bucket_capacity(n, quantum, margin, cap_floor)
+        return G.resize_map(gm, cap) if cap > gm.capacity else gm
 
     gms = []  # (gt_tiled, w2c) keyframe store
     w2cs, gt_w2cs, descs = [], [], []
     gm = None
     vel = np.eye(4, dtype=np.float32)
     exp = init_exposure()
+    t_track = [0.0, 0]
+    t_map = [0.0, 0]
     t0 = time.perf_counter()
 
     for t in range(num_frames):
@@ -66,11 +80,12 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
             s.opts.grid)
 
         if t == 0:
-            cap = max(1 << 17, int(depth.size * 1.3))
+            cap = G.bucket_capacity(depth.size, quantum, margin, cap_floor)
             gm = initialize_map(cap, gt_color, gt_depth,
                                 jnp.eye(4, dtype=jnp.float32), s.cam)
             w2c = np.eye(4, dtype=np.float32)
         else:
+            tt0 = time.perf_counter()
             init_w2c = vel @ w2cs[-1]
             pose = init_pose(init_w2c)
             cache = bin_for_tracking(gm, s.cam.replace_w2c(pose.w2c), s.opts)
@@ -78,6 +93,8 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
                                     s.track_front, s.lcfg)
             w2c = np.asarray(pose.w2c)
             vel = w2c @ np.linalg.inv(w2cs[-1])
+            t_track[0] += time.perf_counter() - tt0
+            t_track[1] += 1
 
         w2cs.append(w2c)
         gt_w2cs.append(gt_w2c)
@@ -87,25 +104,56 @@ def rgbd_slam(config: dict, backend: str = "pallas") -> dict:
             sim = max(float(np.dot(d, q)) for q in descs[-20:])
             is_kf = sim < desc_th  # novel view
         if is_kf:
+            tm0 = time.perf_counter()
             descs.append(d)
             w2cj = jnp.asarray(w2c, jnp.float32)
+            # keyframe densify can add up to one gaussian per pixel:
+            # make room BEFORE the scatter (mode='drop' would silently
+            # discard the overflow on a full map — r2 weak #5)
+            gm = fit_capacity(gm, headroom=depth.size)
             out = render_view(gm, s.cam.replace_w2c(w2cj), s.opts)
             gm = add_new_gaussians(gm, w2cj, gt_color, gt_depth, out,
                                    s.cam, s.opts, s.dcfg, s.lcfg)
             gms.append((gt_tiled, w2cj))
-            for _ in range(config["frontend"]["num_mapping_iters"]):
+            n_map = config["frontend"]["num_mapping_iters"]
+            for _ in range(n_map):
                 gt_i, w2c_i = gms[rng.randrange(len(gms))]
                 gm, exp, _ = mapping_step(
                     gm, w2c_i, gt_i, exp, jnp.bool_(False),
                     s.exp_sched_front, s.cam, s.opts, s.mcfg, s.lcfg)
             gm = prune_gaussians(gm, s.dcfg)
+            t_map[0] += time.perf_counter() - tm0
+            t_map[1] += n_map
+
+    # final refinement over random keyframes (reference splatam.py:255-264)
+    for _ in range(num_frames):
+        gt_i, w2c_i = gms[rng.randrange(len(gms))]
+        gm, exp, _ = mapping_step(gm, w2c_i, gt_i, exp, jnp.bool_(False),
+                                  s.exp_sched_front, s.cam, s.opts, s.mcfg,
+                                  s.lcfg)
 
     total = time.perf_counter() - t0
     print(f"fps: {num_frames / total:.3f}")
     out_dir = config.get("vis_base_dir", "output") + "_splatam"
+    os.makedirs(out_dir, exist_ok=True)
+    # time.json contract (reference splatam.py:266-287)
+    import json
+
+    with open(os.path.join(out_dir, "time.json"), "w") as f:
+        json.dump({
+            "tracking_iter_time(ms)": t_track[0] / max(t_track[1], 1) * 1000,
+            "tracking_frame_time(s)": t_track[0] / max(t_track[1], 1),
+            "mapping_iter_time(ms)": t_map[0] / max(t_map[1], 1) * 1000,
+            "mapping_frame_time(s)": t_map[0] / max(len(gms), 1),
+            "frame_time": total / num_frames,
+        }, f)
     result = eval_final(config, gm, w2cs, gt_w2cs, dataset, out_dir=out_dir,
                         backend=backend)
     print(result)
+    # scene checkpoint contract (reference splatam.py:288-291 save_scence)
+    from gaus_slam_tpu.utils.scene_io import save_scene
+
+    save_scene(config, gm, w2cs, gt_w2cs, os.path.join(out_dir, "scene"))
     return result
 
 

@@ -75,3 +75,169 @@ def test_capacity_floor_pins_bucket():
     assert fe._capacity_for(10) == 1 << 18
     assert fe._capacity_for(200_000) == 1 << 18       # below floor: pinned
     assert fe._capacity_for(300_000) > (1 << 18)      # above floor: grows
+
+
+def test_fold_diags_keeps_midloop_overflow():
+    """A transient overflow in the middle of a loop survives the fold
+    (round-2 weak #3: only the last iteration's aux was read)."""
+    import jax.numpy as jnp
+
+    from gaus_slam_tpu.slam.steps import fold_diags
+
+    diags = [
+        {"overflow": jnp.bool_(False), "n_shrunk": jnp.int32(0)},
+        {"overflow": jnp.bool_(True), "n_shrunk": jnp.int32(7)},   # mid
+        {"overflow": jnp.bool_(False), "n_shrunk": jnp.int32(2)},  # last
+    ]
+    out = fold_diags(diags)
+    assert bool(out["overflow"])
+    assert int(out["n_shrunk"]) == 7
+
+
+def test_frontend_mapping_escalates_on_midloop_overflow(monkeypatch):
+    """Overflow on a NON-final mapping iteration still escalates the
+    pair budget (frontend folds diagnostics across the whole loop)."""
+    import queue
+
+    import jax.numpy as jnp
+
+    from gaus_slam_tpu.models import gaussians as G
+    from gaus_slam_tpu.slam import frontend as FE
+    from gaus_slam_tpu.slam.init_map import initialize_map
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "synthetic", "config.py"))
+    cfg["cameras"]["height"] = 48
+    cfg["cameras"]["width"] = 64
+    cfg["cameras"]["intrinsics"] = [[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]]
+    cfg["frontend"]["num_mapping_iters"] = 4
+    # force the per-step host loop (the fused mapping_loop accumulates
+    # in-program and is covered by the companion test below)
+    cfg["frontend"]["additional_densify"] = False
+    cfg["tpu"]["mapping_rebin_every"] = 3  # 4 % 3 != 0 -> legacy path
+    fe = FE.Frontend(cfg, queue.Queue(), backend="interpret")
+
+    rng = np.random.default_rng(0)
+    color = jnp.asarray(rng.uniform(0, 1, (48, 64, 3)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(1, 3, (48, 64)), jnp.float32)
+
+    class F:
+        gt_color, gt_depth = color, depth
+        exposure = None
+        mapping_times = 0
+        get_w2c = np.eye(4, dtype=np.float32)
+        gt_tiled = None
+
+    fe.map = initialize_map(4096, color, depth,
+                            jnp.eye(4, dtype=jnp.float32), fe.sys.cam)
+
+    calls = {"n": 0}
+
+    def fake_mapping_step(gm, w2c, gt, exp, do_exp, sched, cam, opts,
+                          mcfg, lcfg, bins=None):
+        calls["n"] += 1
+        ov = calls["n"] == 2  # overflow ONLY on the 2nd of 4 iterations
+        return gm, exp, {"overflow": jnp.bool_(ov),
+                         "n_shrunk": jnp.int32(0),
+                         "loss": jnp.float32(0.0)}
+
+    monkeypatch.setattr(FE, "mapping_step", fake_mapping_step)
+    f0 = fe.sys.opts.pair_budget_factor
+    fe.mapping(frames=[F()])
+    assert calls["n"] == 4
+    assert fe.sys.opts.pair_budget_factor == 2 * f0
+
+
+def test_backend_mesh_path_escalates(monkeypatch):
+    """mapping_group's sharded-BA diagnostics reach the ladder (round-2
+    weak #3: the mesh path discarded aux entirely)."""
+    import jax.numpy as jnp
+
+    from gaus_slam_tpu import parallel as par
+    from gaus_slam_tpu.models import gaussians as G
+    from gaus_slam_tpu.slam.backend import Backend
+    from gaus_slam_tpu.slam.init_map import initialize_map
+    from gaus_slam_tpu.models.frame import Frame
+    from gaus_slam_tpu.models.submap import LocalMap
+    from gaus_slam_tpu.parallel import make_mesh
+    import random as _random
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "synthetic", "config.py"))
+    cfg["cameras"]["height"] = 48
+    cfg["cameras"]["width"] = 64
+    cfg["cameras"]["intrinsics"] = [[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]]
+    be = Backend(cfg, backend="interpret", mesh=make_mesh(8))
+
+    rng = np.random.default_rng(0)
+    color = jnp.asarray(rng.uniform(0, 1, (48, 64, 3)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(1, 3, (48, 64)), jnp.float32)
+    frames = []
+    for t in range(2):  # 1-frame submaps retain nothing (frames[:-1])
+        fr = Frame(time_idx=t, gt_color=color, gt_depth=depth,
+                   gt_w2c=np.eye(4, dtype=np.float32), kfid=0)
+        fr.start_optimizer(np.eye(4, dtype=np.float32),
+                           enable_exposure=False)
+        frames.append(fr)
+    gm = initialize_map(4096, color, depth, jnp.eye(4, dtype=jnp.float32),
+                        be.sys.cam)
+    lm = LocalMap.cut(0, frames, G.extract_params(gm), 1,
+                      rng=_random.Random(0))
+    lm.start_optimizer(np.eye(4, dtype=np.float32))
+    be.local_maps.add_localmap(lm)
+    be.map = gm
+
+    def fake_sharded(mesh, gm_, w2cs, gts, cam, opts, mcfg, lcfg,
+                     weights=None):
+        return gm_, jnp.float32(0.0), {"overflow": jnp.bool_(True),
+                                       "n_shrunk": jnp.int32(0)}
+
+    monkeypatch.setattr(par, "sharded_ba_step", fake_sharded)
+    f0 = be.sys.opts.pair_budget_factor
+    be.mapping_group([0])
+    be._check_escalation()
+    assert be.sys.opts.pair_budget_factor == 2 * f0
+
+
+def test_frontend_fused_mapping_escalates(monkeypatch):
+    """The fused mapping_loop path folds overflow in-program; the
+    frontend still escalates from its aux."""
+    import queue
+
+    import jax.numpy as jnp
+
+    from gaus_slam_tpu.slam import frontend as FE
+    from gaus_slam_tpu.slam.init_map import initialize_map
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "synthetic", "config.py"))
+    cfg["cameras"]["height"] = 48
+    cfg["cameras"]["width"] = 64
+    cfg["cameras"]["intrinsics"] = [[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]]
+    cfg["frontend"]["num_mapping_iters"] = 4
+    cfg["tpu"]["mapping_rebin_every"] = 2  # 4 % 2 == 0 -> fused path
+    fe = FE.Frontend(cfg, queue.Queue(), backend="interpret")
+
+    rng = np.random.default_rng(0)
+    color = jnp.asarray(rng.uniform(0, 1, (48, 64, 3)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(1, 3, (48, 64)), jnp.float32)
+
+    class F:
+        gt_color, gt_depth = color, depth
+        exposure = None
+        mapping_times = 0
+        get_w2c = np.eye(4, dtype=np.float32)
+        gt_tiled = None
+
+    fe.map = initialize_map(4096, color, depth,
+                            jnp.eye(4, dtype=jnp.float32), fe.sys.cam)
+
+    def fake_mapping_loop(gm, w2cs, gts, cam, opts, mcfg, lcfg,
+                          rebin_every=1):
+        return gm, {"overflow": jnp.bool_(True), "n_shrunk": jnp.int32(0),
+                    "loss": jnp.float32(0.0)}
+
+    monkeypatch.setattr(FE, "mapping_loop", fake_mapping_loop)
+    f0 = fe.sys.opts.pair_budget_factor
+    fe.mapping(frames=[F()])
+    assert fe.sys.opts.pair_budget_factor == 2 * f0

@@ -24,6 +24,7 @@ def test_full_slam_synthetic(tmp_path):
     config["vis_base_dir"] = str(tmp_path)
     config["backend"]["common_vis"] = True   # dashboards (Backend.py:271)
     config["backend"]["save_ckpt"] = True    # mid-run checkpointing
+    config["eval"]["eval_mesh"] = True       # reconstruction metrics pass
     result = rgbd_slam(config, backend="interpret")
 
     assert result["ATE RMSE"] < 0.05, result
@@ -35,6 +36,17 @@ def test_full_slam_synthetic(tmp_path):
     assert (tmp_path / "time.json").exists()
     assert (tmp_path / "scene" / "gaussians.ply").exists()
     assert (tmp_path / "scene" / "w2cs.npz.npy").exists()
+
+    # mesh-reconstruction evaluation ran end-to-end from the driver
+    # (reference utils/eval.py:458-481 -> reconstruction_metrics.json)
+    import json
+
+    rm_path = tmp_path / "reconstruction_metrics.json"
+    assert rm_path.exists()
+    rm = json.loads(rm_path.read_text())
+    assert np.isfinite(rm["fscore"]) and rm["fscore"] > 0.2, rm
+    assert (tmp_path / "mesh" / "final_mesh.ply").exists()
+    assert result.get("Mesh F-score") == rm["fscore"]
 
     # observability: the per-submap dashboards were written
     for png in ("frontend_numpts.png", "depth_l1.png",
@@ -61,3 +73,35 @@ def test_full_slam_synthetic(tmp_path):
                         resume_from=str(tmp_path / "ckpt"))
     assert np.isfinite(result2["ATE RMSE"]) and result2["ATE RMSE"] < 0.1
     assert np.isfinite(result2["PSNR"])
+
+    # resume fidelity (r2 weak #6): restored submaps reload their
+    # retained keyframe images from the dataset, so backend refinement
+    # still reaches them (mapping_times increases post-restore)
+    import queue
+
+    from gaus_slam_tpu.data import get_dataset
+    from gaus_slam_tpu.slam.backend import Backend
+    from gaus_slam_tpu.slam.frontend import Frontend
+    from gaus_slam_tpu.utils.checkpoint import restore_run_state
+
+    config3 = load_config(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "configs", "synthetic", "config.py")
+    )
+    config3["vis_base_dir"] = str(tmp_path / "restore_probe")
+    dataset = get_dataset(config3["data"])
+    color0, _, intrinsics, _ = dataset[0]
+    from gaus_slam_tpu.utils.config import probe_cameras
+
+    probe_cameras(config3, color0, intrinsics)
+    fe = Frontend(config3, queue.Queue(), backend="interpret")
+    be = Backend(config3, backend="interpret")
+    restore_run_state(str(tmp_path / "ckpt"), fe, be, dataset)
+    assert len(be.local_maps) >= 1
+    lm0 = be.local_maps[0]
+    assert lm0.saved_idxs, "restored submap lost its retained keyframes"
+    for i in lm0.saved_idxs:
+        assert lm0.frames[i].gt_color is not None
+    mt0 = lm0.mapping_times
+    be.mapping(0)
+    assert lm0.mapping_times == mt0 + 1

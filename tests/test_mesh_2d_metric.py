@@ -72,3 +72,72 @@ def test_calc_2d_metric_rejects_unseen_views():
     got = calc_2d_metric(gt, gt, unseen_pc=unseen, align=False, n_imgs=5,
                          samples_per_mesh=100_000)
     assert got["depth l1"] is None
+
+
+def test_mesh_ply_roundtrip(tmp_path):
+    from gaus_slam_tpu.utils.ply import read_mesh_ply, write_mesh_ply
+
+    v, f = make_box_mesh()
+    cols = np.linspace(0, 1, v.size).reshape(v.shape)
+    p = tmp_path / "mesh" / "m.ply"
+    write_mesh_ply(str(p), v, f, colors=cols)
+    v2, f2 = read_mesh_ply(str(p))
+    np.testing.assert_allclose(v2, v, atol=1e-6)
+    np.testing.assert_array_equal(f2, f)
+
+
+def test_mesh_ply_reads_ascii_and_double(tmp_path):
+    # gt meshes in the wild come as ascii or double-precision binary
+    v, f = make_box_mesh()
+    p = tmp_path / "ascii.ply"
+    with open(p, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {len(v)}\n")
+        fh.write("property double x\nproperty double y\nproperty double z\n")
+        fh.write(f"element face {len(f)}\n")
+        fh.write("property list uchar int vertex_indices\nend_header\n")
+        for row in v:
+            fh.write(" ".join(f"{x:.9f}" for x in row) + "\n")
+        for tri in f:
+            fh.write("3 " + " ".join(str(i) for i in tri) + "\n")
+    from gaus_slam_tpu.utils.ply import read_mesh_ply
+
+    v2, f2 = read_mesh_ply(str(p))
+    np.testing.assert_allclose(v2, v, atol=1e-6)
+    np.testing.assert_array_equal(f2, f)
+
+
+def test_clean_mesh_drops_small_components():
+    from gaus_slam_tpu.utils.eval_mesh import clean_mesh
+
+    # big component: a 20x20 triangulated grid plane (400 verts);
+    # floater: an 8-vert box far away
+    g = 20
+    yy, xx = np.mgrid[:g, :g].astype(np.float64)
+    plane = np.stack([xx.ravel(), yy.ravel(), np.zeros(g * g)], 1)
+    quads = (yy[:-1, :-1] * g + xx[:-1, :-1]).astype(np.int64).ravel()
+    tri1 = np.stack([quads, quads + 1, quads + g], 1)
+    tri2 = np.stack([quads + 1, quads + g + 1, quads + g], 1)
+    box_v, box_f = make_box_mesh()
+    v2 = np.concatenate([plane, box_v + 100.0])
+    f2 = np.concatenate([tri1, tri2, box_f + g * g])
+    cv, _, ct = clean_mesh(v2, None, f2, min_len=100)
+    assert (cv < 50).all()  # the floater at +100 was dropped
+    assert len(cv) == g * g and len(ct) == len(tri1) + len(tri2)
+
+
+def test_load_gt_mesh_assets_meshdir(tmp_path):
+    from gaus_slam_tpu.utils.eval_mesh import load_gt_mesh_assets
+    from gaus_slam_tpu.utils.ply import write_mesh_ply
+
+    v, f = make_box_mesh()
+    write_mesh_ply(str(tmp_path / "room0.ply"), v, f)
+    np.save(tmp_path / "room0_pc_unseen.npy", np.zeros((10, 3)))
+    config = {"data": {"meshdir": str(tmp_path), "sequence": "room0"}}
+    gt_mesh, unseen, gt_points = load_gt_mesh_assets(config,
+                                                     n_gt_points=1000)
+    assert gt_mesh is not None and len(gt_mesh[0]) == len(v)
+    assert unseen.shape == (10, 3)
+    assert gt_points.shape == (1000, 3)
+    # every sampled point lies on the box surface
+    assert np.abs(gt_points).max() <= 2.0 + 1e-5

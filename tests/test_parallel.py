@@ -45,8 +45,12 @@ def test_sharded_ba_matches_sequential():
     gt_tiled = jnp.stack([image_to_tiles(g, grid) for g in gt_imgs])
 
     mesh = make_mesh(n_dev)
-    gm_sharded, loss = sharded_ba_step(mesh, gm, w2cs, gt_tiled, cam, opts,
-                                       mcfg, lcfg)
+    gm_sharded, loss, diag = sharded_ba_step(mesh, gm, w2cs, gt_tiled, cam,
+                                             opts, mcfg, lcfg)
+    # binning diagnostics come back from the sharded path (escalation
+    # ladder input); nothing overflows at this scale
+    assert not bool(diag["overflow"])
+    assert int(diag["n_shrunk"]) >= 0
 
     # sequential oracle: mean gradient over the same keyframes, one step
     def loss_one(params, i):
