@@ -200,11 +200,19 @@ def _kernel(ids_ref, start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref,
 
 def _kernel_stashed(ids_ref, start_ref, stop_ref, soff_ref, kexit_ref,
                     attrs_ref, dstate0_ref, stash_ref, zeros_ref, dattrs_ref,
-                    abuf, asem, srow, ssem, gbuf, gsem, *, grid: TileGrid,
-                    use_sa: bool, need_normal: bool):
+                    abuf, asem, srow, ssem, gbuf, gsem_rd, gsem_wr, *,
+                    grid: TileGrid, use_sa: bool, need_normal: bool):
     """Reverse sweep only: chunk carries come from the forward's stash
     (raster_forward_stash), so the per-tile re-forward (Phase A) and its
-    attr DMAs + compositing work disappear (~1/3 of the old backward)."""
+    attr DMAs + compositing work disappear.
+
+    Software-pipelined: the next chunk's attr+stash loads prefetch while
+    the current chunk's vjp computes, gradient writes drain one
+    iteration behind (2-slot buffers), and only BOUNDARY chunks (the
+    128-pair blocks shared with a neighboring tile's range) pay the
+    read-modify-write — interior chunks are plain writes. The serialized
+    4-DMA-per-chunk chain of the first version was a large share of the
+    backward's premium over the forward."""
     del zeros_ref
     i_sub = pl.program_id(0)
     t = ids_ref[i_sub]
@@ -225,19 +233,47 @@ def _kernel_stashed(ids_ref, start_ref, stop_ref, soff_ref, kexit_ref,
     d_state0 = PixelState(*(d0[i : i + 1]
                             for i in range(len(PixelState._fields))))
 
+    def cp_a(k, slot):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds((blk0 + k) * CHUNK, CHUNK)],
+            abuf.at[slot], asem.at[slot],
+        )
+
+    def cp_s(k, slot):
+        return pltpu.make_async_copy(stash_ref.at[soff + k], srow.at[slot],
+                                     ssem.at[slot])
+
+    def rd_g(k, slot):
+        return pltpu.make_async_copy(
+            dattrs_ref.at[:, pl.ds((blk0 + k) * CHUNK, CHUNK)],
+            gbuf.at[slot], gsem_rd.at[slot],
+        )
+
+    def wr_g(k, slot):
+        return pltpu.make_async_copy(
+            gbuf.at[slot],
+            dattrs_ref.at[:, pl.ds((blk0 + k) * CHUNK, CHUNK)],
+            gsem_wr.at[slot],
+        )
+
+    @pl.when(k_count > 0)
+    def _():
+        cp_a(k_count - 1, 0).start()
+        cp_s(k_count - 1, 0).start()
+
     def bwd_body(i, d_state):
         k = k_count - 1 - i
-        # overlap the two loads
-        cp_a = pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds((blk0 + k) * CHUNK, CHUNK)], abuf, asem
-        )
-        cp_s = pltpu.make_async_copy(stash_ref.at[soff + k], srow, ssem)
-        cp_a.start()
-        cp_s.start()
-        cp_a.wait()
-        cp_s.wait()
-        attrs = jnp.transpose(abuf[:, :])
-        state_in = _state_from_stash(srow[:, :], P)
+        slot = lax.rem(i, 2)
+
+        @pl.when(i + 1 < k_count)
+        def _():
+            cp_a(k - 1, 1 - slot).start()
+            cp_s(k - 1, 1 - slot).start()
+
+        cp_a(k, slot).wait()
+        cp_s(k, slot).wait()
+        attrs = jnp.transpose(abuf[slot])
+        state_in = _state_from_stash(srow[slot], P)
         gstart = (blk0 + k) * CHUNK
         gi = gstart + lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         pair_valid = ((gi >= start) & (gi < stop)).astype(jnp.float32)
@@ -250,20 +286,39 @@ def _kernel_stashed(ids_ref, start_ref, stop_ref, soff_ref, kexit_ref,
         _, vjp_fn = jax.vjp(f, state_in, attrs)
         d_state_in, d_attrs = vjp_fn(d_state)
 
-        rd = pltpu.make_async_copy(
-            dattrs_ref.at[:, pl.ds((blk0 + k) * CHUNK, CHUNK)], gbuf, gsem
-        )
-        rd.start()
-        rd.wait()
-        gbuf[:, :] = gbuf[:, :] + jnp.transpose(d_attrs)
-        wr = pltpu.make_async_copy(
-            gbuf, dattrs_ref.at[:, pl.ds((blk0 + k) * CHUNK, CHUNK)], gsem
-        )
-        wr.start()
-        wr.wait()
+        # the write issued two iterations ago reused this gbuf slot —
+        # drain it before overwriting the slot
+        @pl.when(i >= 2)
+        def _():
+            wr_g(k + 2, slot).wait()
+
+        boundary = (gstart < start) | (gstart + CHUNK > stop)
+
+        @pl.when(boundary)
+        def _():
+            rd = rd_g(k, slot)
+            rd.start()
+            rd.wait()
+            gbuf[slot] = gbuf[slot] + jnp.transpose(d_attrs)
+
+        @pl.when(jnp.logical_not(boundary))
+        def _():
+            gbuf[slot] = jnp.transpose(d_attrs)
+
+        wr_g(k, slot).start()
         return d_state_in
 
     lax.fori_loop(0, k_count, bwd_body, d_state0)
+
+    # drain the last (up to two) outstanding gradient writes so the next
+    # grid step's boundary RMW sees them completed
+    @pl.when(k_count >= 1)
+    def _():
+        wr_g(0, lax.rem(k_count - 1, 2)).wait()
+
+    @pl.when(k_count >= 2)
+    def _():
+        wr_g(1, lax.rem(k_count - 2, 2)).wait()
 
 
 @functools.partial(
@@ -310,12 +365,13 @@ def raster_backward_stash(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((ATTR_C, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((STASH_C, P), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((ATTR_C, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, ATTR_C, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, STASH_C, P), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, ATTR_C, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_kernel_stashed, grid=grid, use_sa=use_sa,
