@@ -115,9 +115,13 @@ def run_slam(h, w, n_frames, warm):
                   f"merge={_tf2-_tf1:.2f}s "
                   f"backend={time.perf_counter()-_tf2:.2f}s",
                   file=sys.stderr, flush=True)
+    _td0 = time.perf_counter()
     while not backend_.task_queue.empty():
         backend_.process()
     jax.block_until_ready(frontend.map.params.xyz)
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"[bench] final drain: {time.perf_counter()-_td0:.2f}s",
+              file=sys.stderr, flush=True)
     dt = time.perf_counter() - t_mark
     fps = (n_frames - warm) / dt
     n_win = n_frames - warm

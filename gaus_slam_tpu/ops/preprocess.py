@@ -121,6 +121,123 @@ def preprocess(
     )
 
 
+class PreSummary(NamedTuple):
+    """The preprocess outputs binning consumes (``bin_gaussians`` duck-types
+    over PreprocResult and this): everything except the kernel attrs."""
+
+    valid: jnp.ndarray    # [N] bool
+    center: jnp.ndarray   # [N, 2]
+    radius: jnp.ndarray   # [N] float
+    depth: jnp.ndarray    # [N]
+
+
+def preprocess_t(
+    xyz_t: jnp.ndarray,      # [3, N] world-space centers (transposed)
+    scales_t: jnp.ndarray,   # [2, N] activated surfel scales
+    quats_t: jnp.ndarray,    # [4, N] (w,x,y,z), not necessarily unit
+    opacities: jnp.ndarray,  # [N] activated opacities
+    colors_t: jnp.ndarray,   # [3, N]
+    cam: Camera,
+    active: jnp.ndarray | None = None,  # [N] bool
+) -> tuple[jnp.ndarray, PreSummary]:
+    """Transposed (lane-major) preprocess: same math as ``preprocess`` +
+    ``pack_pair_attrs`` but on [C, N] rows, returning the kernel attr slab
+    [PAIR_C, N] directly.
+
+    Why: [N, 3] / [N, 4] elementwise math uses 3-4 of the 128 VPU lanes
+    per op (XLA keeps the trailing dim minor); on full-lane [N] rows the
+    same math runs at ~40x the lane utilization. This is the production
+    path; ``preprocess`` remains as the oracle (equivalence unit-tested).
+    """
+    w2c = cam.w2c.astype(jnp.float32)
+    qw, qx, qy, qz = quats_t[0], quats_t[1], quats_t[2], quats_t[3]
+    n2 = qw * qw + qx * qx + qy * qy + qz * qz
+    s = 2.0 / jnp.maximum(n2, 1e-24)  # matches se3.quat_to_rotmat
+    # rotation-matrix entries (same normalization as se3.quat_to_rotmat)
+    r00 = 1.0 - s * (qy * qy + qz * qz)
+    r01 = s * (qx * qy - qw * qz)
+    r02 = s * (qx * qz + qw * qy)
+    r10 = s * (qx * qy + qw * qz)
+    r11 = 1.0 - s * (qx * qx + qz * qz)
+    r12 = s * (qy * qz - qw * qx)
+    r20 = s * (qx * qz - qw * qy)
+    r21 = s * (qy * qz + qw * qx)
+    r22 = 1.0 - s * (qx * qx + qy * qy)
+
+    s0, s1 = scales_t[0], scales_t[1]
+    L0 = (r00 * s0, r10 * s0, r20 * s0)          # 3 x [N]
+    L1 = (r01 * s1, r11 * s1, r21 * s1)
+    nw = (r02, r12, r22)                         # world normal columns
+
+    def mat_rows(M, v, translate=False):
+        """rows of M[:3,:3] @ v (+ M[:3,3]): v is a 3-tuple of [N] rows."""
+        out = []
+        for i in range(3):
+            r = M[i, 0] * v[0] + M[i, 1] * v[1] + M[i, 2] * v[2]
+            if translate:
+                r = r + M[i, 3]
+            out.append(r)
+        return out
+
+    xyz3 = (xyz_t[0], xyz_t[1], xyz_t[2])
+    pv = mat_rows(w2c, xyz3, translate=True)     # p_view rows
+    valid = pv[2] > 0.2
+
+    M = world_to_pix3(cam)                       # [3, 4]
+    hu = mat_rows(M, L0)
+    hv = mat_rows(M, L1)
+    hp = mat_rows(M, xyz3, translate=True)
+    # t_u = x-components of (hu, hv, hp); t_v = y; t_w = z (see preprocess)
+    tu = (hu[0], hv[0], hp[0])
+    tv = (hu[1], hv[1], hp[1])
+    tw = (hu[2], hv[2], hp[2])
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    a0 = cross(tv, tw)
+    a1 = cross(tw, tu)
+    a2 = cross(tu, tv)
+
+    nc = mat_rows(w2c, nw)                       # camera-space normal
+    cosv = -(pv[0] * nc[0] + pv[1] * nc[1] + pv[2] * nc[2])
+    valid = valid & (cosv != 0.0)
+    flip = lax.stop_gradient(jnp.where(cosv > 0, 1.0, -1.0))
+    nc = (nc[0] * flip, nc[1] * flip, nc[2] * flip)
+
+    c2 = CUTOFF * CUTOFF
+    distance = c2 * (tw[0] * tw[0] + tw[1] * tw[1]) - tw[2] * tw[2]
+    valid = valid & (distance != 0.0)
+    inv_d = 1.0 / jnp.where(distance == 0.0, 1.0, distance)
+    cx = (c2 * (tu[0] * tw[0] + tu[1] * tw[1]) - tu[2] * tw[2]) * inv_d
+    cy = (c2 * (tv[0] * tw[0] + tv[1] * tw[1]) - tv[2] * tw[2]) * inv_d
+    tempx = (c2 * (tu[0] * tu[0] + tu[1] * tu[1]) - tu[2] * tu[2]) * inv_d
+    tempy = (c2 * (tv[0] * tv[0] + tv[1] * tv[1]) - tv[2] * tv[2]) * inv_d
+    ex = jnp.sqrt(jnp.maximum(1e-4, cx * cx - tempx))
+    ey = jnp.sqrt(jnp.maximum(1e-4, cy * cy - tempy))
+    radius = lax.stop_gradient(jnp.ceil(jnp.maximum(ex, ey)))
+
+    if active is not None:
+        valid = valid & active
+    opac = jnp.where(valid, opacities, 0.0)
+    zeros = jnp.zeros_like(opac)
+    attrs = jnp.stack([
+        a0[0], a0[1], a0[2], a1[0], a1[1], a1[2], a2[0], a2[1], a2[2],
+        tw[0], tw[1], tw[2],
+        lax.stop_gradient(cx), lax.stop_gradient(cy),
+        nc[0], nc[1], nc[2], opac,
+        colors_t[0], colors_t[1], colors_t[2],
+        zeros, zeros, zeros,
+    ], axis=0)                                   # [PAIR_C, N]
+    summary = PreSummary(
+        valid=valid, center=jnp.stack([cx, cy], axis=-1),
+        radius=radius, depth=pv[2],
+    )
+    return attrs, summary
+
+
 # Pair-attribute packing used by the compositing kernels.
 # Layout [PAIR_C, R]: per-pair scalars on the sublane axis, pairs on lanes.
 PAIR_FIELDS = (

@@ -88,6 +88,22 @@ def quat_multiply(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def quat_multiply_rows(q1: jnp.ndarray, q2_rows: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product of one quaternion ``q1`` [4] with [4, R] rows
+    (lane-major form of ``quat_multiply(q1[None], q2)``)."""
+    w1, x1, y1, z1 = q1[0], q1[1], q1[2], q1[3]
+    w2, x2, y2, z2 = q2_rows[0], q2_rows[1], q2_rows[2], q2_rows[3]
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 + y1 * w2 + z1 * x2 - x1 * z2,
+            w1 * z2 + z1 * w2 + x1 * y2 - y1 * x2,
+        ],
+        axis=0,
+    )
+
+
 def pose_matrix(quat: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
     """(quat[4], trans[3]) -> 4x4 homogeneous transform.
 

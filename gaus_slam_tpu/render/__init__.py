@@ -27,9 +27,10 @@ from jax import lax
 from ..models.gaussians import GaussianMap, Params
 from ..ops import binning as B
 from ..ops.camera import Camera
-from ..ops.preprocess import pack_pair_attrs, preprocess
+from ..ops.preprocess import (PreSummary, pack_pair_attrs, preprocess,
+                              preprocess_t)
 from ..ops.raster import RenderSettings, render_pairs
-from ..ops.se3 import quat_multiply, rotmat_to_quat
+from ..ops.se3 import quat_multiply, quat_multiply_rows, rotmat_to_quat
 
 
 class RenderOptions(NamedTuple):
@@ -103,6 +104,29 @@ def _preprocess(xyz, scales, quats, opac, cam, opts: RenderOptions,
     return preprocess(xyz, scales, quats, opac, cam, active=active)
 
 
+def _prep_attrs(params: Params, active, cam, opts: RenderOptions):
+    """Activations + preprocess + attr packing -> ([PAIR_C, N] attrs,
+    PreSummary for binning). 2dgs runs the lane-major ``preprocess_t``
+    (one [N, C] -> [C, N] relayout per field, then full-lane math); 3dgs
+    keeps the [N, C] oracle path."""
+    if opts.method == "3dgs":
+        xyz, scales, quats, opac, rgb = _activated(params, active)
+        pre = _preprocess(xyz, scales, quats, opac, cam, opts, active=active)
+        attrs = pack_pair_attrs(pre, rgb)
+        summary = PreSummary(valid=pre.valid, center=pre.center,
+                             radius=pre.radius, depth=pre.depth)
+        return attrs, summary
+    return preprocess_t(
+        params.xyz.T,
+        jnp.exp(params.log_scales.T),
+        params.quats.T,
+        jax.nn.sigmoid(params.opacity_logit[:, 0]),
+        params.rgb.T,
+        cam,
+        active=active,
+    )
+
+
 def _method_mask(out, opts: RenderOptions):
     """3dgs returns zeros for normal/middepth/dist (render_3dgs.py:90-92);
     normals are already zero by construction, middepth/dist are masked."""
@@ -120,11 +144,10 @@ def bin_full(
     """Binning pass alone (non-differentiable structure) — callers that
     need the overflow/shrink diagnostics compute this once and pass it to
     ``render_full(bins=...)``."""
-    xyz, scales, quats, opac, _ = _activated(params, active)
-    pre = _preprocess(xyz, scales, quats, opac, cam, opts, active=active)
+    _, summary = _prep_attrs(params, active, cam, opts)  # attrs DCE'd
     return B.bin_gaussians(
-        jax.tree.map(lax.stop_gradient, pre), opts.grid,
-        r_max=opts.r_max(xyz.shape[0]),
+        jax.tree.map(lax.stop_gradient, summary), opts.grid,
+        r_max=opts.r_max(params.xyz.shape[0]),
         max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
     )
 
@@ -145,15 +168,14 @@ def render_full(
     shadow in the kernels (mapping/BA losses only read normals under
     use_normal_loss — reference slam/Loss.py:51-58).
     """
-    xyz, scales, quats, opac, rgb = _activated(params, active)
-    pre = _preprocess(xyz, scales, quats, opac, cam, opts, active=active)
+    attrs, summary = _prep_attrs(params, active, cam, opts)
     if bins is None:
         bins = B.bin_gaussians(
-            jax.tree.map(lax.stop_gradient, pre), opts.grid,
-            r_max=opts.r_max(xyz.shape[0]),
+            jax.tree.map(lax.stop_gradient, summary), opts.grid,
+            r_max=opts.r_max(params.xyz.shape[0]),
             max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
         )
-    attrs_t = pack_pair_attrs(pre, rgb).T            # [N, ATTR_C]
+    attrs_t = attrs.T                                # [N, ATTR_C]
     pattrs = expand_pairs(attrs_t, bins, opts.max_tiles_per_gaussian)
     out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, None,
                        opts.settings(need_normal=need_normal))
@@ -179,34 +201,34 @@ class PairCache(NamedTuple):
     elementwise math + the compositing kernel: no gather, no scatter.
     """
 
-    raw: jnp.ndarray       # [R, 13] = xyz | scales | quats | opac | rgb
+    raw_t: jnp.ndarray     # [13, R] = xyz | scales | quats | opac | rgb
+                           # (lane-major: per-pair fields are [R] rows)
     tile_start: jnp.ndarray
     tile_stop: jnp.ndarray
     num_pairs: jnp.ndarray  # scalar int32 (binning diagnostics)
     overflow: jnp.ndarray   # scalar bool: pair budget exceeded
     n_shrunk: jnp.ndarray   # scalar int32: rects shrunk to fit d_max
 
-    # Column views: kept lazy so they fuse into the per-pair preprocess
-    # instead of each paying a lane-relayout pass over [R, 13].
+    # Row views (no relayout: slabs of the [13, R] slab).
     @property
-    def xyz(self):
-        return self.raw[:, 0:3]
+    def xyz_t(self):
+        return self.raw_t[0:3]
 
     @property
-    def scales(self):
-        return self.raw[:, 3:5]
+    def scales_t(self):
+        return self.raw_t[3:5]
 
     @property
-    def quats(self):
-        return self.raw[:, 5:9]
+    def quats_t(self):
+        return self.raw_t[5:9]
 
     @property
     def opac(self):
-        return self.raw[:, 9]
+        return self.raw_t[9]
 
     @property
-    def rgb(self):
-        return self.raw[:, 10:13]
+    def rgb_t(self):
+        return self.raw_t[10:13]
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -223,9 +245,9 @@ def bin_for_tracking(
     """
     params = jax.tree.map(lax.stop_gradient, gm.params)
     xyz, scales, quats, opac, rgb = _activated(params, gm.active)
-    pre = _preprocess(xyz, scales, quats, opac, cam0, opts, active=gm.active)
+    _, summary = _prep_attrs(params, gm.active, cam0, opts)  # attrs DCE'd
     bins = B.bin_gaussians(
-        pre, opts.grid, r_max=opts.r_max(xyz.shape[0]),
+        summary, opts.grid, r_max=opts.r_max(xyz.shape[0]),
         max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
     )
     # ONE fused row-gather for all raw fields (row gathers are
@@ -237,7 +259,7 @@ def bin_for_tracking(
     rows = raw[bins.pair_gauss]
     rows = rows.at[:, 9].set(jnp.where(bins.pair_ok, rows[:, 9], 0.0))
     return PairCache(
-        raw=rows,
+        raw_t=rows.T,  # one relayout; every tracking iter reads rows
         tile_start=bins.tile_start, tile_stop=bins.tile_stop,
         num_pairs=bins.num_pairs, overflow=bins.overflow,
         n_shrunk=bins.n_shrunk,
@@ -260,13 +282,23 @@ def render_tracking(
     from ..ops.se3 import pose_matrix, quat_normalize
 
     w2c = pose_matrix(pose_quat, pose_trans)
-    xyz_cam = cache.xyz @ w2c[:3, :3].T + w2c[:3, 3]
     q = quat_normalize(pose_quat)
-    quats_cam = lax.stop_gradient(quat_multiply(q[None, :], cache.quats))
     cam_eye = cam_proj.replace_w2c(jnp.eye(4, dtype=jnp.float32))
-    pre = _preprocess(xyz_cam, cache.scales, quats_cam, cache.opac,
-                      cam_eye, opts)
-    pattrs = pack_pair_attrs(pre, cache.rgb)
+    if opts.method == "3dgs":
+        xyz_cam = cache.xyz_t.T @ w2c[:3, :3].T + w2c[:3, 3]
+        quats_cam = lax.stop_gradient(
+            quat_multiply(q[None, :], cache.quats_t.T))
+        pre = _preprocess(xyz_cam, cache.scales_t.T, quats_cam, cache.opac,
+                          cam_eye, opts)
+        pattrs = pack_pair_attrs(pre, cache.rgb_t.T)
+    else:
+        # lane-major hot path: pose move is a [3,3] @ [3,R] matmul, the
+        # per-pair preprocess runs on full-lane [R] rows (preprocess_t)
+        xyz_cam_t = w2c[:3, :3] @ cache.xyz_t + w2c[:3, 3][:, None]
+        quats_cam_t = lax.stop_gradient(
+            quat_multiply_rows(q, cache.quats_t))
+        pattrs, _ = preprocess_t(xyz_cam_t, cache.scales_t, quats_cam_t,
+                                 cache.opac, cache.rgb_t, cam_eye)
     if tile_ids is None:
         start, stop = cache.tile_start, cache.tile_stop
     else:

@@ -161,7 +161,7 @@ class Frontend:
         cam0 = s.cam.replace_w2c(frame.pose.w2c)
         cache = bin_for_tracking(self.map, cam0, s.opts)
         if os.environ.get("GAUS_PROFILE"):
-            _sync(cache.raw)
+            _sync(cache.raw_t)
             t_bin = time.perf_counter() - t0
         pose, aux = tracking_loop(
             cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,

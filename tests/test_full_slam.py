@@ -105,3 +105,38 @@ def test_full_slam_synthetic(tmp_path):
     mt0 = lm0.mapping_times
     be.mapping(0)
     assert lm0.mapping_times == mt0 + 1
+
+
+@pytest.mark.slow
+def test_gaus_mp_checkpoint_resume(tmp_path):
+    """The pipelined driver checkpoints at submap merges and resumes
+    (r2 weak #7: only scripts/gaus.py had save_ckpt/--resume)."""
+    os.environ["SYN_H"] = "48"
+    os.environ["SYN_W"] = "64"
+    os.environ["SYN_FRAMES"] = "12"
+    from gaus_slam_tpu.utils.config import load_config
+    from scripts.gaus_mp import rgbd_slam as rgbd_slam_mp
+
+    config = load_config(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "configs", "synthetic", "config.py")
+    )
+    config["vis_base_dir"] = str(tmp_path)
+    config["backend"]["save_ckpt"] = True
+    # keep the CPU/interpret run bounded: no idle-time random refinement
+    # (the pipelined loop spins far more turns than frames)
+    config["backend"]["random_process"] = False
+    result = rgbd_slam_mp(config, backend="interpret")
+    assert np.isfinite(result["PSNR"]) and result["PSNR"] > 20.0
+    assert (tmp_path / "ckpt" / "meta.json").exists()
+
+    config2 = load_config(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "configs", "synthetic", "config.py")
+    )
+    config2["vis_base_dir"] = str(tmp_path / "resumed")
+    config2["backend"]["random_process"] = False
+    result2 = rgbd_slam_mp(config2, backend="interpret",
+                           resume_from=str(tmp_path / "ckpt"))
+    assert np.isfinite(result2["ATE RMSE"]) and result2["ATE RMSE"] < 0.1
+    assert np.isfinite(result2["PSNR"])

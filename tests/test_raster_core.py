@@ -69,6 +69,31 @@ def test_preprocess_culls():
     assert bool(pre.valid[2])
 
 
+def test_preprocess_t_matches_oracle():
+    """The lane-major production path (preprocess_t) must agree with the
+    [N, C] oracle (preprocess + pack_pair_attrs) bit-closely."""
+    from gaus_slam_tpu.ops.preprocess import preprocess_t
+
+    cam = make_cam()
+    xyz, scales, quats, opac, colors = face_on_gaussians(
+        jax.random.PRNGKey(3), 257, cam)
+    active = jnp.arange(257) < 200
+    pre = preprocess(xyz, scales, quats, opac, cam, active=active)
+    attrs_ref = pack_pair_attrs(pre, colors)
+    attrs, summary = preprocess_t(xyz.T, scales.T, quats.T, opac, colors.T,
+                                  cam, active=active)
+    np.testing.assert_allclose(np.asarray(attrs), np.asarray(attrs_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(summary.valid),
+                                  np.asarray(pre.valid))
+    np.testing.assert_allclose(np.asarray(summary.center),
+                               np.asarray(pre.center), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(summary.radius),
+                                  np.asarray(pre.radius))
+    np.testing.assert_allclose(np.asarray(summary.depth),
+                               np.asarray(pre.depth), rtol=1e-6, atol=1e-6)
+
+
 def test_binning_groups_and_depth_order():
     cam = make_cam()
     key = jax.random.PRNGKey(3)

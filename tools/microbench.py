@@ -205,6 +205,28 @@ def main():
         d_pairs = f_bwd(pattrs, bins, out)
         bench("slab grad reduction", f_reduce, bins, d_pairs)
 
+    # the actual training path: stash-forward + stashed backward
+    from gaus_slam_tpu.ops.pallas_backward import raster_backward_stash
+    from gaus_slam_tpu.ops.pallas_forward import raster_forward_stash
+
+    @jax.jit
+    def f_fwd_stash(pattrs, bins):
+        return raster_forward_stash(pattrs, bins.tile_start, bins.tile_stop,
+                                    grid=grid, interpret=interp)
+
+    @jax.jit
+    def f_bwd_stash(pattrs, bins, out, stash, kexit):
+        return raster_backward_stash(pattrs, bins.tile_start, bins.tile_stop,
+                                     stash, kexit, out, out * 1e-3,
+                                     grid=grid, interpret=interp)
+
+    if on("fwds"):
+        bench("forward kernel (stash)", f_fwd_stash, pattrs, bins)
+    if on("bwds"):
+        out_s, stash, kexit = f_fwd_stash(pattrs, bins)
+        bench("backward kernel (stashed)", f_bwd_stash, pattrs, bins, out_s,
+              stash, kexit)
+
     # --- full steps ---
     lcfg = LossConfig()
     mcfg = MapConfig(lrs=(("opacity_lr", 5e-2), ("rgb_lr", 2.5e-3),
@@ -224,6 +246,43 @@ def main():
             return mapping_step(gm, w2c, gt_tiled, exp0, jnp.bool_(False),
                                 sched, cam, opts, mcfg, lcfg)
         bench("mapping_step (full)", f_map, gm)
+
+    if on("mapparts"):
+        from gaus_slam_tpu.render import render_full
+        from gaus_slam_tpu.slam.loss import mapping_loss
+        from gaus_slam_tpu.render import bin_full
+
+        bins_pre = jax.jit(bin_full, static_argnames=("opts",))(
+            gm.params, gm.active, cam, opts)
+
+        def f_map_rebin(gm):
+            return mapping_step(gm, w2c, gt_tiled, exp0, jnp.bool_(False),
+                                sched, cam, opts, mcfg, lcfg, bins=bins_pre)
+        bench("mapping_step (bins reused)", f_map_rebin, gm)
+
+        @jax.jit
+        def f_loss_fwd(params):
+            out, _ = render_full(params, gm.active, cam, opts, bins=bins_pre,
+                                 need_normal=False)
+            return mapping_loss(out, gt_tiled, lcfg)[0]
+        bench("mapping fwd only (bins reused)", f_loss_fwd, gm.params)
+
+        @jax.jit
+        def f_loss_grad(params):
+            return jax.grad(f_loss_fwd)(params)
+        bench("mapping grad (bins reused)", f_loss_grad, gm.params)
+
+    if on("track1"):
+        tcfg1 = TrackConfig(num_iters=1, converged_th=-1.0,
+                            rot_sched=LrSchedule(4e-4, 1e-4, 30),
+                            trans_sched=LrSchedule(2e-3, 4e-4, 30))
+        cache = bin_for_tracking(gm, cam, opts)
+        pose = init_pose(np.eye(4, dtype=np.float32))
+
+        def f_track1(cache, pose):
+            return tracking_loop(cache, pose, gt_tiled, cam, opts, tcfg1,
+                                 lcfg)
+        bench("tracking_loop (1 iter)", f_track1, cache, pose)
 
     if on("view"):
         bench("render_view", render_view, gm, cam, opts)
