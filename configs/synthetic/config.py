@@ -17,7 +17,7 @@ num_ba_iters = 20
 localmap_max_frames = 10
 
 config = dict(
-    vis_base_dir=f"output/synthetic_seed{seed}",
+    vis_base_dir=os.environ.get("SYN_OUT", f"output/synthetic_seed{seed}"),
     seed=seed,
     use_wandb=False,
     wandb=dict(name="synthetic", project_name="gaus_slam_tpu"),
@@ -37,7 +37,11 @@ config = dict(
         # coarse-to-fine tracking: first iterations render a stride-2
         # tile checkerboard (1/4 the kernel work) from the same pair cache
         coarse_iters=int(os.environ.get("COARSE_ITERS", 18)),
-        coarse_stride=2,
+        coarse_stride=int(os.environ.get("COARSE_STRIDE", 2)),
+        # re-bin the tracking pair cache once mid-loop (after the coarse
+        # phase) at the updated pose — A/B knob for the cache-staleness
+        # question (reference re-bins every iteration)
+        tracking_refresh=bool(int(os.environ.get("TRACK_REFRESH", 0))),
         tau_k=0.05,
         tau_l=h * w * 1.5,
         max_frames=localmap_max_frames,
@@ -137,7 +141,7 @@ config = dict(
         # A/B at 340x600/30 frames (PSNR): rebin=1 21.59, rebin=2 22.26,
         # rebin=4 20.38 — run noise is ~±0.9 dB, so 2 is quality-neutral
         # and ~10% faster; only 4 shows a clear staleness cost.
-        mapping_rebin_every=2,
+        mapping_rebin_every=int(os.environ.get("REBIN_EVERY", 2)),
         # pre-size the maps so the capacity bucket NEVER flips mid-run:
         # every flip re-traces + re-lowers every jitted program (seconds
         # to minutes on a slow host). Frontend is bounded by tau_l; the

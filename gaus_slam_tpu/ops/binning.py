@@ -60,9 +60,16 @@ class Binning(NamedTuple):
                              # d_max and had their radius shrunk to fit
     counts: jnp.ndarray      # [N] int32 pairs emitted per gaussian
                              # (post-shrink, pre-budget-truncation)
+    # Precomputed gradient-reduction sort (``reduce_perm=True`` binnings
+    # only; empty otherwise). The sort keys depend only on the binning,
+    # so mapping paths that reduce every iteration against one binning
+    # amortize the [R] sort to once per rebin.
+    red_keys: jnp.ndarray = jnp.zeros((0,), jnp.int32)   # [R] sorted keys
+    red_perm: jnp.ndarray = jnp.zeros((0,), jnp.int32)   # [R] sort perm
 
     def slab_scatter_grads(self, pair_grads: jnp.ndarray, n: int,
-                           d_max: int | None = None) -> jnp.ndarray:
+                           d_max: int | None = None,
+                           backend: str | None = None) -> jnp.ndarray:
         """Reduce per-pair gradients [R, C] -> per-gaussian [N, C].
 
         XLA scatter/segment-sum serialize per row on TPU (~120ns/row),
@@ -82,12 +89,16 @@ class Binning(NamedTuple):
             immune to dropped pairs.
 
         lax.cond executes only the taken branch at runtime.
+
+        ``backend`` ("pallas"/"interpret") routes the fast path's
+        run-total landing gather through the banded monotone-gather
+        kernel (ops/gather.py); None keeps plain XLA gathers.
         """
         d_max = d_max if d_max is not None else self.num_tiles_touched
         return lax.cond(
             self.overflow,
             lambda g: self._slab_reduce(g, n, d_max),
-            lambda g: self._run_reduce(g, n, d_max),
+            lambda g: self._run_reduce(g, n, d_max, backend),
             pair_grads,
         )
 
@@ -107,12 +118,15 @@ class Binning(NamedTuple):
         return slab.reshape(d_max, n, c).sum(axis=0)
 
     def _run_reduce(self, pair_grads: jnp.ndarray, n: int,
-                    d_max: int) -> jnp.ndarray:
+                    d_max: int, backend: str | None = None) -> jnp.ndarray:
         r, _ = pair_grads.shape
-        keys = jnp.where(self.pair_ok, self.pair_gauss, n)  # dead -> tail
-        keys_sorted, perm = lax.sort(
-            (keys, jnp.arange(r, dtype=jnp.int32)), num_keys=1
-        )
+        if self.red_perm.shape[0]:          # precomputed at bin time
+            keys_sorted, perm = self.red_keys, self.red_perm
+        else:
+            keys = jnp.where(self.pair_ok, self.pair_gauss, n)  # dead -> tail
+            keys_sorted, perm = lax.sort(
+                (keys, jnp.arange(r, dtype=jnp.int32)), num_keys=1
+            )
         grads_sorted = jnp.where(self.pair_ok[:, None], pair_grads, 0.0)[perm]
         # segmented inclusive scan (Hillis-Steele doubling): each run's
         # LAST row ends with the run total in ceil(log2(d_max)) passes.
@@ -127,8 +141,22 @@ class Binning(NamedTuple):
                 (kshift == keys_sorted)[:, None], shifted, 0.0
             )
             s *= 2
-        pos = jnp.cumsum(self.counts) - 1
-        out = acc[jnp.clip(pos, 0, r - 1)]
+        pos = jnp.clip(jnp.cumsum(self.counts) - 1, 0, r - 1).astype(jnp.int32)
+        c = acc.shape[1]
+        if backend in ("pallas", "interpret") and n % 128 == 0 and c % 8 == 0:
+            from .gather import monotone_row_gather
+
+            # the barrier forces the transpose to materialize with the
+            # canonical layout before entering the pallas call — fused
+            # into a larger program, XLA may otherwise hand the kernel a
+            # transposed-layout operand it silently misreads
+            acc_t, pos_b = lax.optimization_barrier((acc.T, pos))
+            out = monotone_row_gather(
+                acc_t, pos_b, max_step=d_max,
+                interpret=(backend == "interpret"),
+            ).T
+        else:
+            out = acc[pos]
         return jnp.where((self.counts > 0)[:, None], out, 0.0)
 
 
@@ -158,6 +186,7 @@ def bin_gaussians(
     grid: TileGrid,
     r_max: int | None = None,
     max_tiles_per_gaussian: int = 16,
+    reduce_perm: bool = False,
 ) -> Binning:
     """Gather-free slab expansion.
 
@@ -238,7 +267,19 @@ def bin_gaussians(
     bounds = jnp.searchsorted(key_sorted, tile_keys, side="left").astype(
         jnp.int32
     )
+    if reduce_perm:
+        # pre-sort the gradient-reduction keys (fast path of
+        # slab_scatter_grads): per-iteration reduces against this binning
+        # reuse the sort instead of re-sorting [R] every step
+        rkeys = jnp.where(pair_ok, pair_gauss, n)
+        red_keys, red_perm = lax.sort(
+            (rkeys, jnp.arange(r_max, dtype=jnp.int32)), num_keys=1
+        )
+    else:
+        red_keys = red_perm = jnp.zeros((0,), jnp.int32)
     return Binning(
+        red_keys=red_keys,
+        red_perm=red_perm,
         pair_gauss=pair_gauss,
         pair_slab=pair_slab,
         slab_tail=slab_tail,

@@ -61,19 +61,26 @@ class RenderOptions(NamedTuple):
 # pair expansion with a controlled-VJP (the mapping-path segment reduction)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def expand_pairs(attrs_t: jnp.ndarray, bins: B.Binning, d_max: int):
-    """[N, ATTR_C] per-gaussian attrs -> [ATTR_C, R] pair-expanded."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def expand_pairs(attrs_t: jnp.ndarray, bins: B.Binning, d_max: int,
+                 backend: str | None = None):
+    """[N, ATTR_C] per-gaussian attrs -> [ATTR_C, R] pair-expanded.
+
+    ``backend`` routes the vjp's reduction landing gather through the
+    banded pallas kernel (see Binning.slab_scatter_grads)."""
     return attrs_t[bins.pair_gauss].T
 
 
-def _exp_fwd(attrs_t, bins, d_max):
+def _exp_fwd(attrs_t, bins, d_max, backend):
     return attrs_t[bins.pair_gauss].T, (bins, attrs_t.shape[0])
 
 
-def _exp_bwd(d_max, res, d_pairs):
+def _exp_bwd(d_max, backend, res, d_pairs):
     bins, n = res
-    return bins.slab_scatter_grads(d_pairs.T, n, d_max=d_max), None
+    return (
+        bins.slab_scatter_grads(d_pairs.T, n, d_max=d_max, backend=backend),
+        None,
+    )
 
 
 expand_pairs.defvjp(_exp_fwd, _exp_bwd)
@@ -149,6 +156,7 @@ def bin_full(
         jax.tree.map(lax.stop_gradient, summary), opts.grid,
         r_max=opts.r_max(params.xyz.shape[0]),
         max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
+        reduce_perm=True,
     )
 
 
@@ -176,7 +184,8 @@ def render_full(
             max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
         )
     attrs_t = attrs.T                                # [N, ATTR_C]
-    pattrs = expand_pairs(attrs_t, bins, opts.max_tiles_per_gaussian)
+    pattrs = expand_pairs(attrs_t, bins, opts.max_tiles_per_gaussian,
+                          opts.backend)
     out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, None,
                        opts.settings(need_normal=need_normal))
     return _method_mask(out, opts), bins

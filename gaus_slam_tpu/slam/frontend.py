@@ -59,6 +59,11 @@ class Frontend:
         self.max_frames = int(fr["max_frames"])
         self.vel_pose_init = bool(fr.get("vel_pose_init", True))
         self.enable_retracking = bool(fr.get("enable_retracking", False))
+        # A/B knob: re-bin the tracking pair cache once mid-loop (after
+        # the coarse phase) at the updated pose. The reference re-bins
+        # every iteration; the default frozen cache is the TPU-native
+        # staleness bet this knob quantifies (PERF.md quality table).
+        self.tracking_refresh = bool(fr.get("tracking_refresh", False))
         self.additional_densify = bool(fr.get("additional_densify", False))
         self.densify_interval = int(config["densify"].get("densify_interval", 20))
         # consecutive mapping iterations sharing one binning (1 = re-bin
@@ -163,16 +168,33 @@ class Frontend:
         if os.environ.get("GAUS_PROFILE"):
             _sync(cache.raw_t)
             t_bin = time.perf_counter() - t0
+        tcfg = s.track_front
+        iters_pre = None
+        if self.tracking_refresh and 0 < tcfg.coarse_iters < tcfg.num_iters:
+            # phase 1 (coarse) on the init-pose cache, then re-bin at the
+            # updated pose and run the full-res phase on a fresh cache
+            pose, aux1 = tracking_loop(
+                cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
+                tcfg._replace(num_iters=tcfg.coarse_iters), s.lcfg,
+            )
+            cache = bin_for_tracking(
+                self.map, s.cam.replace_w2c(pose.w2c), s.opts)
+            frame.pose = pose
+            iters_pre = aux1["iters"]
+            tcfg = tcfg._replace(
+                num_iters=tcfg.num_iters - tcfg.coarse_iters, coarse_iters=0)
         pose, aux = tracking_loop(
             cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
-            s.track_front, s.lcfg, want_view=want_view,
+            tcfg, s.lcfg, want_view=want_view,
         )
         frame.pose = pose
         # ONE fused readback for everything the host needs this frame
         # (each device_get through the tunnel costs ~1ms + a full drain)
+        iters_dev = aux["iters"] if iters_pre is None \
+            else aux["iters"] + iters_pre
         fetch = {
             "overflow": cache.overflow, "n_shrunk": cache.n_shrunk,
-            "iters": aux["iters"], "depth_l1": aux["depth_l1"],
+            "iters": iters_dev, "depth_l1": aux["depth_l1"],
         }
         if want_view:
             fetch["n_low"] = aux["n_low"]

@@ -100,12 +100,12 @@ def test_sharded_ba_matches_sequential():
     )
     def per_dev(params, active, w2c_shard, gt_shard):
         return _ba_loss(params, active, w2c_shard[0], gt_shard[0],
-                        cam, opts, lcfg)[None]
+                        cam, opts, lcfg)[0][None]
 
     pl_losses = np.asarray(per_dev(gm.params, gm.active, w2cs, gt_tiled))
     seq_losses = np.asarray([
         float(_ba_loss(gm.params, gm.active, w2cs[i], gt_tiled[i], cam,
-                       opts, lcfg)) for i in range(n_dev)])
+                       opts, lcfg)[0]) for i in range(n_dev)])
     np.testing.assert_allclose(pl_losses, seq_losses, rtol=1e-6)
 
 

@@ -153,3 +153,41 @@ def test_tracking_coarse_to_fine_recovers_pose(scene, mapped):
     t_err = float(jnp.linalg.norm(pose.w2c[:3, 3] - w2c1[:3, 3]))
     assert int(aux["iters"]) == 60
     assert t_err < 0.4 * t_err0, (t_err0, t_err)
+
+def test_tracking_mid_loop_refresh_semantics(scene, mapped):
+    """tracking_refresh (frontend A/B knob): after the coarse phase the
+    pair cache is re-binned at the updated pose. Asserts the semantic
+    contract: iteration accounting composes, the LR schedule continues
+    through the pose's persistent step counter, and the refreshed
+    cache's render at its bin pose matches the full re-binned renderer
+    (render_view) — i.e. the refresh really does remove cache staleness.
+    Whether removing staleness helps END-TO-END quality is a full-SLAM
+    question (tools/quality_ab.py): on this single-frame map even the
+    exact render's pose objective is biased by uncovered regions."""
+    from gaus_slam_tpu.render import render_tracking, render_view
+
+    ds, cam, grid, opts, lcfg, frames = scene
+    gm, _ = mapped
+    color1, depth1, w2c1 = frames[1]
+    w2c0 = frames[0][2]
+    pose0 = init_pose(w2c0)
+    gt = gt_tiles(color1, depth1, grid)
+    sched_r = LrSchedule(8e-4, 8e-5, 60)
+    sched_t = LrSchedule(4e-3, 4e-4, 60)
+    cache = bin_for_tracking(gm, cam.replace_w2c(w2c0), opts)
+    tc1 = TrackConfig(num_iters=40, converged_th=-1.0, rot_sched=sched_r,
+                      trans_sched=sched_t, coarse_iters=40, coarse_stride=2)
+    pose_mid, aux1 = tracking_loop(cache, pose0, gt, cam, opts, tc1, lcfg)
+    assert int(pose_mid.step) == int(aux1["iters"])  # schedule continuity
+    cache2 = bin_for_tracking(gm, cam.replace_w2c(pose_mid.w2c), opts)
+    # the refreshed cache renders the map exactly (the stale one doesn't)
+    out_new = render_tracking(cache2, pose_mid.quat, pose_mid.trans, cam,
+                              opts)
+    view = render_view(gm, cam.replace_w2c(pose_mid.w2c), opts)
+    assert float(jnp.abs(view[:, :3] - out_new[:, :3]).max()) < 5e-3
+    tc2 = TrackConfig(num_iters=20, converged_th=-1.0, rot_sched=sched_r,
+                      trans_sched=sched_t)
+    pose, aux2 = tracking_loop(cache2, pose_mid, gt, cam, opts, tc2, lcfg)
+    assert int(aux1["iters"]) + int(aux2["iters"]) == 60
+    assert np.isfinite(err := float(
+        jnp.linalg.norm(pose.w2c[:3, 3] - w2c1[:3, 3]))), err
