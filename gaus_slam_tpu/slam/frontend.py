@@ -26,7 +26,7 @@ import numpy as np
 from ..models import gaussians as G
 from ..models.frame import Frame, init_exposure, init_pose
 from ..models.submap import LocalMap
-from ..ops.composite_ref import image_to_tiles
+from ..ops.composite_ref import frame_to_tiles
 from ..ops.se3 import invert_se3
 from ..render import bin_for_tracking, bin_full, render_view
 from ..utils.config import SystemConfig
@@ -40,6 +40,11 @@ def _sync(x):
     return x
 
 
+# scalar-probe fence for profiling: block_until_ready does not drain the
+# tunneled device; fetching one scalar does
+_probe = jax.jit(lambda x: x.ravel()[0])
+
+
 _bin_full_jit = jax.jit(bin_full, static_argnames=("opts",))
 
 
@@ -47,7 +52,8 @@ class Frontend:
     def __init__(self, config: dict, to_backend, wandb_run=None,
                  backend: str = "pallas"):
         self.config = config
-        self.sys = SystemConfig.from_config(config, backend=backend)
+        self.sys = SystemConfig.from_config(config, backend=backend,
+                                            component="frontend")
         self.to_backend = to_backend
         self.wandb_run = wandb_run
         self.rng = random.Random(config.get("seed", 0))
@@ -101,6 +107,10 @@ class Frontend:
         # timing (time.json contract)
         self.t_track_iter = [0.0, 0]
         self.t_track_frame = [0.0, 0]
+        # host-side mirror of map.n_active (refreshed at every
+        # densify/prune/create/restore — reading the device scalar in the
+        # per-frame hot path costs a full device sync)
+        self.n_active_host = 0
         self.t_map_iter = [0.0, 0]
         self.t_map_frame = [0.0, 0]
         self.total_time = 0.0
@@ -115,6 +125,10 @@ class Frontend:
         compile caches key on a small set of capacity buckets."""
         gm = self.map
         n = int(gm.n_active)
+        # host-side mirror of the device n_active scalar: reading it here
+        # (per densify/prune — a few times per keyframe) lets the per-frame
+        # hot path test map size without a device sync
+        self.n_active_host = n
         cap = self._capacity_for(n)
         if cap < gm.capacity and n > 0.35 * gm.capacity:
             return
@@ -122,10 +136,8 @@ class Frontend:
 
     def _tile_gt(self, frame: Frame):
         if getattr(frame, "gt_tiled", None) is None:
-            img = jnp.concatenate(
-                [frame.gt_color.transpose(2, 0, 1), frame.gt_depth[None]], 0
-            )
-            frame.gt_tiled = image_to_tiles(img, self.sys.opts.grid)
+            frame.gt_tiled = frame_to_tiles(
+                frame.gt_color, frame.gt_depth, self.sys.opts.grid)
         return frame.gt_tiled
 
     # ------------------------------------------------------------------
@@ -138,6 +150,7 @@ class Frontend:
         self.map = initialize_map(
             cap, frame.gt_color, frame.gt_depth, frame.get_w2c, self.sys.cam
         )
+        self.n_active_host = int(self.map.n_active)
         self.mapping()
 
     def _check_escalation(self, diag: dict):
@@ -328,11 +341,26 @@ class Frontend:
         gt_pose: c2w [4, 4].
         """
         s = self.sys
+        prof = os.environ.get("GAUS_PROFILE")
+        _marks = []
+        _last = [time.perf_counter()]
+
+        def mark(label):
+            if prof:
+                if self.map is not None:
+                    float(_probe(self.map.params.xyz))
+                now = time.perf_counter()
+                _marks.append((label, (now - _last[0]) * 1000))
+                _last[0] = now
+
         gt_w2c = np.linalg.inv(np.asarray(gt_pose))
         cur = Frame(time_idx=time_idx, gt_color=jnp.asarray(gt_color),
                     gt_depth=jnp.asarray(gt_depth), gt_w2c=gt_w2c,
                     kfid=self.cur_lmid)
         self.local_frames.append(cur)
+        if prof:
+            float(_probe(cur.gt_depth))  # fence the H2D transfer
+            mark("h2d")
 
         if len(self.local_frames) == 1:
             cur.frame_type = 0  # RKF
@@ -354,11 +382,13 @@ class Frontend:
         # when retracking is off.
         may_need_view = not (
             len(self.local_frames) > self.max_frames
-            or int(self.map.n_active) > self.tau_l
+            or self.n_active_host > self.tau_l
         )
+        mark("pose_init")
         depth_l1, view_out, n_low = self.tracking(
             cur, want_view=may_need_view and self.fused_kf_view)
         self.depth_l1_rec.append(depth_l1)
+        mark("tracking")
 
         tracking_flag = (depth_l1 < self.avg_depth_l1 * 5
                          if self.enable_retracking else True)
@@ -370,7 +400,7 @@ class Frontend:
         is_refkf = (
             (not tracking_flag)
             or len(self.local_frames) > self.max_frames
-            or int(self.map.n_active) > self.tau_l
+            or self.n_active_host > self.tau_l
         )
 
         if not tracking_flag:
@@ -397,30 +427,42 @@ class Frontend:
                 alpha = out[:, 4]
                 # padded pixels never accumulate alpha; subtract them
                 n_low_val = float(jnp.sum(alpha < 0.5)) - (alpha.size - hw)
+            mark("kf_test")
             if n_low_val > hw * self.tau_k:
                 map_t0 = time.perf_counter()
                 cur.frame_type = 1  # KF
                 self._densify(cur, render_out=out)
+                mark("densify")
                 self.mapping()
+                mark("kf_mapping")
                 self.map = prune_gaussians(self.map, s.dcfg)
                 self._fit_capacity()
+                mark("prune")
                 self.t_map_frame[0] += time.perf_counter() - map_t0
                 self.t_map_frame[1] += 1
 
         if is_refkf:
             self._cut_submap(time_idx, gt_color, gt_depth, gt_w2c,
                              tracking_flag)
+            mark("cut")
 
-        self.numpts_rec.append(int(self.map.n_active))
+        self.numpts_rec.append(self.n_active_host)
+        if prof:
+            print("[prof] frame " + " ".join(
+                f"{k}={v:.0f}ms" for k, v in _marks), flush=True)
 
     def _cut_submap(self, time_idx, gt_color, gt_depth, gt_w2c,
                     tracking_flag):
         s = self.sys
+        prof = os.environ.get("GAUS_PROFILE")
+        t0 = time.perf_counter()
         lm = LocalMap.cut(
             self.cur_lmid, self.local_frames, G.extract_params(self.map),
             self.num_frame_saved, tracking_ok=self.tracking_flag,
             rng=self.rng,
         )
+        if prof:
+            t_cut = time.perf_counter() - t0
         self.to_backend.put(lm)
         self.cur_lmid += 1
         cur = Frame(time_idx=time_idx, gt_color=jnp.asarray(gt_color),
@@ -429,7 +471,12 @@ class Frontend:
         cur.start_optimizer(np.eye(4, dtype=np.float32),
                             s.lcfg.enable_exposure)
         self.local_frames = [cur]
+        t1 = time.perf_counter()
         self.create_map()
+        if prof:
+            _sync(self.map.params.xyz)
+            print(f"[prof] cut: localmap.cut={t_cut*1000:.0f}ms "
+                  f"create_map={(time.perf_counter()-t1)*1000:.0f}ms")
         self.tracking_flag = tracking_flag
         while hasattr(self.to_backend, "qsize") and self.to_backend.qsize() > 1:
             print("backend too busy !!!")

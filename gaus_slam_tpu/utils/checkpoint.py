@@ -128,6 +128,7 @@ def restore_run_state(path: str, frontend, backend, dataset) -> int:
 
     next_idx = int(meta["next_frame_idx"])
     frontend.map = _map_from(state["frontend_map"])
+    frontend.n_active_host = int(frontend.map.n_active)
     frontend.cur_lmid = int(meta["cur_lmid"])
     frontend.vel = np.asarray(meta["vel"], np.float32)
     frontend.avg_depth_l1 = float(meta["avg_depth_l1"])

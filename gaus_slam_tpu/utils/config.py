@@ -81,7 +81,11 @@ class SystemConfig:
         factor = opts.pair_budget_factor
         dmax = opts.max_tiles_per_gaussian
         if overflow and factor < 16:
-            factor *= 2
+            # 1.5x steps: with fractional base factors (1.75 default) a
+            # 2x jump overshoots the transient merge peak badly and the
+            # oversized budget then taxes every per-pair op for the rest
+            # of the run
+            factor = round(factor * 1.5, 3)
         # radius-shrink only trims the outer sigma of oversized splats;
         # escalate d_max when it stops being a tail phenomenon (>2%)
         if n_shrunk > max(64, 0.02 * max(n_active, 1)):
@@ -99,7 +103,8 @@ class SystemConfig:
         )
 
     @classmethod
-    def from_config(cls, config: dict, backend: str = "pallas"):
+    def from_config(cls, config: dict, backend: str = "pallas",
+                    component: str = "backend"):
         camcfg = config["cameras"]
         h, w = camcfg["height"], camcfg["width"]
         cam = camera_from_intrinsics(
@@ -110,10 +115,20 @@ class SystemConfig:
         method = r.get("method", "2dgs")
         if method not in ("2dgs", "3dgs"):
             raise ValueError(f"unknown render method {method!r}")
+        tpu = config.get("tpu", {})
+        # per-component pair budgets: r_max = factor * CAPACITY bucket.
+        # The backend's active count approaches its capacity at merge
+        # peaks, but the frontend's stays well below its floor (bounded
+        # by tau_l while the floor covers tau_l * margin), so the
+        # frontend can run a lower factor — every tracking iteration's
+        # per-pair elementwise work scales with r_max. Escalation
+        # (maybe_escalate) is the overflow backstop for both.
+        factor = float(tpu.get("pair_budget_factor", 2))
+        if component == "frontend":
+            factor = float(tpu.get("pair_budget_factor_frontend", factor))
         opts = RenderOptions(
             grid=grid, use_sa=bool(r.get("use_sa", True)), backend=backend,
-            pair_budget_factor=int(config.get("tpu", {}).get(
-                "pair_budget_factor", 2)),
+            pair_budget_factor=factor,
             max_tiles_per_gaussian=int(config.get("tpu", {}).get(
                 "max_tiles_per_gaussian", 4)),
             normals_in_tracking=bool(

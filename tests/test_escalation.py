@@ -27,14 +27,14 @@ def test_overflow_doubles_pair_budget():
     s = make_sys()
     f0 = s.opts.pair_budget_factor
     s2 = s.maybe_escalate(overflow=True, n_shrunk=0, n_active=1000)
-    assert s2 is not None and s2.opts.pair_budget_factor == 2 * f0
+    assert s2 is not None and s2.opts.pair_budget_factor == round(1.5 * f0, 3)
     # monotone: repeated overflow keeps doubling up to the cap of 16
     cur = s2
     for _ in range(8):
         nxt = cur.maybe_escalate(overflow=True, n_shrunk=0, n_active=1000)
         if nxt is None:
             break
-        assert nxt.opts.pair_budget_factor == 2 * cur.opts.pair_budget_factor
+        assert nxt.opts.pair_budget_factor == round(1.5 * cur.opts.pair_budget_factor, 3)
         cur = nxt
     assert cur.opts.pair_budget_factor >= 16
 
@@ -145,7 +145,7 @@ def test_frontend_mapping_escalates_on_midloop_overflow(monkeypatch):
     f0 = fe.sys.opts.pair_budget_factor
     fe.mapping(frames=[F()])
     assert calls["n"] == 4
-    assert fe.sys.opts.pair_budget_factor == 2 * f0
+    assert fe.sys.opts.pair_budget_factor == round(1.5 * f0, 3)
 
 
 def test_backend_mesh_path_escalates(monkeypatch):
@@ -196,7 +196,7 @@ def test_backend_mesh_path_escalates(monkeypatch):
     f0 = be.sys.opts.pair_budget_factor
     be.mapping_group([0])
     be._check_escalation()
-    assert be.sys.opts.pair_budget_factor == 2 * f0
+    assert be.sys.opts.pair_budget_factor == round(1.5 * f0, 3)
 
 
 def test_frontend_fused_mapping_escalates(monkeypatch):
@@ -240,4 +240,4 @@ def test_frontend_fused_mapping_escalates(monkeypatch):
     monkeypatch.setattr(FE, "mapping_loop", fake_mapping_loop)
     f0 = fe.sys.opts.pair_budget_factor
     fe.mapping(frames=[F()])
-    assert fe.sys.opts.pair_budget_factor == 2 * f0
+    assert fe.sys.opts.pair_budget_factor == round(1.5 * f0, 3)

@@ -28,7 +28,7 @@ W = int(os.environ.get("MB_W", 600))
 NACT = int(os.environ.get("MB_N", 204000))
 CAP = int(os.environ.get("MB_CAP", 262144))
 DMAX = int(os.environ.get("MB_DMAX", 9))
-BUDGET = int(os.environ.get("MB_BUDGET", 4))
+BUDGET = float(os.environ.get("MB_BUDGET", 4))
 REPS = int(os.environ.get("MB_REPS", 5))
 
 

@@ -37,6 +37,8 @@ VARIANTS = {
     "coarse0": {"COARSE_ITERS": "0"},
     # deeper coarse phase (24 of 30 iterations at stride 2)
     "coarse24": {"COARSE_ITERS": "24"},
+    # deeper + sparser coarse phase (1/9 of the tiles per iteration)
+    "coarse24s3": {"COARSE_ITERS": "24", "COARSE_STRIDE": "3"},
     # re-bin mapping every iteration (reference-exact)
     "rebin1": {"REBIN_EVERY": "1"},
     # staler mapping bins
@@ -53,6 +55,9 @@ def run_one(seed: int, variant: str, frames: int, h: int, w: int,
     env.update({
         "SEED": str(seed), "SYN_H": str(h), "SYN_W": str(w),
         "SYN_FRAMES": str(frames), "SYN_OUT": outdir,
+        # backend floor for the 100-frame peak: no capacity-bucket flips
+        # (each flip re-traces the backend program set mid-run)
+        "BACKEND_CAP_MULT": env.get("BACKEND_CAP_MULT", "4.0"),
         "JAX_COMPILATION_CACHE_DIR": env.get(
             "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache"),
     })
