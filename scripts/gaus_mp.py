@@ -27,7 +27,14 @@ import numpy as np
 
 def datafeeder(dataset, num_frames, data_flow: queue.Queue,
                stop_event: threading.Event, start_frame: int = 0):
-    """Prefetch + decode frames (reference gaus_mp.py DataFeeder:68-79)."""
+    """Prefetch + decode frames (reference gaus_mp.py DataFeeder:68-79).
+
+    Frames are staged onto the device here (``jax.device_put`` returns
+    immediately; the H2D DMA rides behind the frontend's in-flight
+    compute) — the analogue of the reference's pinned-memory CUDA-tensor
+    queue."""
+    import jax
+
     for t in range(start_frame, num_frames):
         if stop_event.is_set():
             return
@@ -37,7 +44,12 @@ def datafeeder(dataset, num_frames, data_flow: queue.Queue,
         depth = np.asarray(depth)
         if depth.ndim == 3:
             depth = depth[..., 0]
-        data_flow.put((t, np.asarray(color, np.float32) / np.float32(255), depth, c2w))
+        data_flow.put((
+            t,
+            jax.device_put(np.asarray(color, np.float32) / np.float32(255)),
+            jax.device_put(depth),
+            c2w,
+        ))
     data_flow.put("finish")
 
 
