@@ -49,16 +49,25 @@ def describe_frames(imgs) -> jnp.ndarray:
     return jnp.stack([describe_image(im) for im in imgs])
 
 
-def query_covisible(desc_matrix: jnp.ndarray, query: jnp.ndarray, k: int):
-    """Cosine top-k over per-submap descriptor stacks.
+def query_covisible(desc_matrix, query, k: int):
+    """Cosine top-k over per-submap descriptor stacks — pure numpy.
 
     desc_matrix: [num_submaps, reps, D]; query: [reps, D]. Mirrors
     Localmaps.query_covisable (scene/Frame.py:284-293): per-submap max
     similarity over representative images, then top-k submap indices.
+
+    Host-side on purpose: the matrix is host-resident, grows with the
+    submap count (a device version re-dispatches eagerly per merge and
+    each int() readback drains the whole device queue mid-merge), and is
+    tiny (num_submaps x reps x 256 f32).
     """
-    i, r, d = desc_matrix.shape
-    sims = jnp.einsum("ird,qd->irq", desc_matrix, query).reshape(i, -1)
+    import numpy as np
+
+    dm = np.asarray(desc_matrix)
+    q = np.asarray(query)
+    i = dm.shape[0]
+    sims = np.einsum("ird,qd->irq", dm, q).reshape(i, -1)
     max_sims = sims.max(axis=1)
     k = min(k, i)
-    _, idx = jax.lax.top_k(max_sims, k)
+    idx = np.argsort(-max_sims, kind="stable")[:k]
     return [int(x) for x in idx]

@@ -97,10 +97,8 @@ class Localmaps(list):
         )
 
     def query_covisable(self, lm_idx: int, num_kf: int = 10):
-        return query_covisible(
-            jnp.asarray(self.map_descs), jnp.asarray(self.map_descs[lm_idx]),
-            num_kf,
-        )
+        return query_covisible(self.map_descs, self.map_descs[lm_idx],
+                               num_kf)
 
     def get_w2cs(self):
         """Per-frame estimated w2cs in time order (Frame.py:298-308)."""
