@@ -11,10 +11,13 @@ w = int(os.environ.get("SYN_W", 160))
 num_frames = int(os.environ.get("SYN_FRAMES", 30))
 trans_lr_base = 0.002
 rot_lr_base = 0.0004
-num_tracking_iter = 30
-num_mapping_iters = 20
-num_ba_iters = 20
-localmap_max_frames = 10
+num_tracking_iter = int(os.environ.get("SYN_TRACK_ITERS", 30))
+num_mapping_iters = int(os.environ.get("SYN_MAP_ITERS", 20))
+num_ba_iters = int(os.environ.get("SYN_BA_ITERS", 20))
+# submap length: cuts (LocalMap.cut + merge + create_map) are the most
+# expensive events in a run; the reference's Replica profile uses 40
+# (configs/replica/config.py:28) — the A/B sweeps this shape knob
+localmap_max_frames = int(os.environ.get("SYN_MAX_FRAMES", 10))
 
 config = dict(
     vis_base_dir=os.environ.get("SYN_OUT", f"output/synthetic_seed{seed}"),
@@ -42,7 +45,7 @@ config = dict(
         # phase) at the updated pose — A/B knob for the cache-staleness
         # question (reference re-bins every iteration)
         tracking_refresh=bool(int(os.environ.get("TRACK_REFRESH", 0))),
-        tau_k=0.05,
+        tau_k=float(os.environ.get("SYN_TAU_K", 0.05)),
         tau_l=h * w * 1.5,
         max_frames=localmap_max_frames,
         vel_pose_init=True,

@@ -45,6 +45,9 @@ VARIANTS = {
     "rebin4": {"REBIN_EVERY": "4"},
     # tracking cache refreshed mid-loop (closer to reference re-binning)
     "refresh": {"TRACK_REFRESH": "1"},
+    # longer submaps (reference Replica shape is 40): cuts/merges are
+    # the most expensive events, fewer of them may be quality-free
+    "submap20": {"SYN_MAX_FRAMES": "20"},
 }
 
 
