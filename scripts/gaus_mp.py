@@ -123,7 +123,17 @@ def rgbd_slam(config: dict, backend: str = "pallas",
                 save_run_state(os.path.join(out_dir, "ckpt"), frontend,
                                backend_, next_frame_idx=last_frame + 1)
         for _ in range(4):
-            backend_.process()
+            if not backend_.task_queue.empty():
+                backend_.process()
+            elif data_flow.empty() and not finished:
+                # genuinely idle (frontend starved for data): the
+                # reference's random_process fills exactly these gaps
+                # (Backend.py:192-194); running it while frames are
+                # pending would slow the frontend, which the reference's
+                # separate backend process never does
+                backend_.process()
+            else:
+                break
         if sleep_time:
             time.sleep(sleep_time if data_flow.empty() else 0)
     stop_event.set()

@@ -48,6 +48,8 @@ VARIANTS = {
     # longer submaps (reference Replica shape is 40): cuts/merges are
     # the most expensive events, fewer of them may be quality-free
     "submap20": {"SYN_MAX_FRAMES": "20"},
+    # the reference Replica profile's own submap length
+    "submap40": {"SYN_MAX_FRAMES": "40"},
 }
 
 
@@ -95,11 +97,20 @@ def main():
     ap.add_argument("--out", default="output/quality_ab.json")
     args = ap.parse_args()
 
+    # seed-major order: one complete single-seed table over ALL variants
+    # lands first (usable if the sweep is cut short); later seeds refine.
+    # Resume: (seed, variant) pairs already in --out are skipped.
     rows = []
     os.makedirs(os.path.join(ROOT, os.path.dirname(args.out)), exist_ok=True)
     out_path = os.path.join(ROOT, args.out)
-    for variant in args.variants:
-        for seed in args.seeds:
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+    done = {(r["seed"], r["variant"]) for r in rows if "psnr" in r}
+    for seed in args.seeds:
+        for variant in args.variants:
+            if (seed, variant) in done:
+                continue
             outdir = f"output/ab_{variant}_s{seed}"
             row = run_one(seed, variant, args.frames, args.height,
                           args.width, outdir)
