@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-3 TPU measurement stages (run by tools/tpu_wait.sh after the
+# pool returns). Sequential — ONE TPU client at a time, no `timeout`.
+# Most critical numbers first; the multi-hour A/B sweep runs last and
+# is resumable (seed-major, skips completed rows).
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/jaxcache
+
+log() { echo "[stages] $* at $(date)" | tee -a /tmp/r3p2.log; }
+
+log "stage 1: profiled short bench"
+GAUS_PROFILE=1 BENCH_VERBOSE=1 BENCH_SKIP_LONG=1 BENCH_SKIP_FULLRES_E2E=1 \
+  BENCH_SKIP_FULLRES=1 python bench.py > /tmp/r3_prof.json 2> /tmp/r3_prof.log
+log "stage 1 done rc=$?"
+
+log "stage 2: full bench run 1"
+python bench.py > /tmp/bench_r3_f1.json 2> /tmp/bench_r3_f1.log
+log "stage 2 run 1 done rc=$?"
+python bench.py > /tmp/bench_r3_f2.json 2> /tmp/bench_r3_f2.log
+log "stage 2 run 2 done rc=$?"
+
+log "stage 2.5: submap40-shaped short bench (reference Replica submap length)"
+SYN_MAX_FRAMES=40 BENCH_FRAMES=122 BENCH_WARM=82 BACKEND_CAP_MULT=4.0 \
+  BENCH_SKIP_LONG=1 BENCH_SKIP_FULLRES_E2E=1 BENCH_SKIP_FULLRES=1 \
+  python bench.py > /tmp/bench_r3_s40.json 2> /tmp/bench_r3_s40.log
+log "stage 2.5 done rc=$?"
+
+log "stage 3: quality A/B (seed-major, priority order, resumable)"
+python tools/quality_ab.py --seeds 0 1 2 --frames 100 \
+  --variants default coarse0 rebin1 refresh submap40 submap20 coarse24s3 \
+  --out output/quality_ab_r3.json > /tmp/r3_ab.log 2>&1
+log "stage 3 done rc=$?"
