@@ -50,6 +50,11 @@ VARIANTS = {
     "submap20": {"SYN_MAX_FRAMES": "20"},
     # the reference Replica profile's own submap length
     "submap40": {"SYN_MAX_FRAMES": "40"},
+    # the reference config_fast's keyframe threshold (tau_k 0.15 vs the
+    # full profile's 0.01; fewer keyframes = far less mapping work)
+    "tauk15": {"SYN_TAU_K": "0.15"},
+    # config_fast-analogue shape: long submaps + sparse keyframes
+    "fast": {"SYN_TAU_K": "0.15", "SYN_MAX_FRAMES": "40"},
 }
 
 
