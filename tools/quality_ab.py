@@ -10,8 +10,9 @@ cost must be bounded before they ship as defaults (parity budget:
 (seed x variant) on the procedural synthetic sequence and aggregates
 PSNR / ATE-RMSE mean +- std per variant.
 
-Each run is a fresh subprocess (one TPU client at a time; per-process
-trace caches stay bounded). Results: JSON lines to --out plus a
+Each VARIANT is a fresh subprocess running all its seeds in-process
+(one TPU client at a time; seeds share program shapes so tracing
+amortizes — tools/ab_runner.py). Results: JSON lines to --out plus a
 markdown table on stdout for PERF.md.
 
 Usage:
@@ -25,7 +26,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -58,38 +58,33 @@ VARIANTS = {
 }
 
 
-def run_one(seed: int, variant: str, frames: int, h: int, w: int,
-            outdir: str) -> dict:
+def run_variant(variant: str, seeds: list[int], frames: int, h: int,
+                w: int, on_row) -> None:
+    """All seeds of one variant in ONE subprocess (seeds share every
+    program shape, so tracing amortizes — see tools/ab_runner.py).
+    Streams rows to ``on_row`` as each seed finishes, so a sweep cut
+    short mid-variant still keeps its completed seeds."""
     env = dict(os.environ)
-    env.update(VARIANTS[variant])
     env.update({
-        "SEED": str(seed), "SYN_H": str(h), "SYN_W": str(w),
-        "SYN_FRAMES": str(frames), "SYN_OUT": outdir,
         # backend floor for the 100-frame peak: no capacity-bucket flips
         # (each flip re-traces the backend program set mid-run)
         "BACKEND_CAP_MULT": env.get("BACKEND_CAP_MULT", "4.0"),
         "JAX_COMPILATION_CACHE_DIR": env.get(
             "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache"),
     })
-    t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "scripts", "gaus.py"),
-         os.path.join(ROOT, "configs", "synthetic", "config.py")],
-        env=env, cwd=ROOT, capture_output=True, text=True,
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(ROOT, "tools", "ab_runner.py"),
+         "--variant", variant, "--env", json.dumps(VARIANTS[variant]),
+         "--seeds", *[str(s) for s in seeds],
+         "--frames", str(frames), "--height", str(h), "--width", str(w)],
+        env=env, cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True,
     )
-    wall = time.time() - t0
-    result_path = os.path.join(ROOT, outdir, "result.json")
-    if proc.returncode != 0 or not os.path.exists(result_path):
-        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
-        return {"seed": seed, "variant": variant, "error": proc.returncode,
-                "wall_s": round(wall, 1)}
-    with open(result_path) as f:
-        res = json.load(f)
-    return {
-        "seed": seed, "variant": variant, "wall_s": round(wall, 1),
-        "psnr": res.get("PSNR"), "ate_rmse": res.get("ATE RMSE"),
-        "ssim": res.get("MS-SSIM"), "depth_l1": res.get("Depth L1"),
-    }
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        if line.startswith("ABROW "):
+            on_row(json.loads(line[len("ABROW "):]))
+    proc.wait()
 
 
 def main():
@@ -102,28 +97,31 @@ def main():
     ap.add_argument("--out", default="output/quality_ab.json")
     args = ap.parse_args()
 
-    # seed-major order: one complete single-seed table over ALL variants
-    # lands first (usable if the sweep is cut short); later seeds refine.
-    # Resume: (seed, variant) pairs already in --out are skipped.
+    # variant-major (pass --variants in priority order): a sweep cut
+    # short yields COMPLETE multi-seed stats for the top variants (the
+    # verdict bar is >=3 seeds per decision). Rows stream per seed;
+    # (seed, variant) pairs already in --out are skipped on resume.
     rows = []
     os.makedirs(os.path.join(ROOT, os.path.dirname(args.out)), exist_ok=True)
     out_path = os.path.join(ROOT, args.out)
     if os.path.exists(out_path):
         with open(out_path) as f:
             rows = [json.loads(line) for line in f if line.strip()]
-    done = {(r["seed"], r["variant"]) for r in rows if "psnr" in r}
-    for seed in args.seeds:
-        for variant in args.variants:
-            if (seed, variant) in done:
-                continue
-            outdir = f"output/ab_{variant}_s{seed}"
-            row = run_one(seed, variant, args.frames, args.height,
-                          args.width, outdir)
-            rows.append(row)
-            with open(out_path, "w") as f:
-                for r in rows:
-                    f.write(json.dumps(r) + "\n")
-            print(json.dumps(row), flush=True)
+    done = {(r["seed"], r["variant"]) for r in rows
+            if r.get("psnr") is not None}
+
+    def on_row(row):
+        rows.append(row)
+        with open(out_path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        print(json.dumps(row), flush=True)
+
+    for variant in args.variants:
+        seeds = [s for s in args.seeds if (s, variant) not in done]
+        if seeds:
+            run_variant(variant, seeds, args.frames, args.height,
+                        args.width, on_row)
 
     # aggregate table (markdown, for PERF.md)
     import statistics as st
