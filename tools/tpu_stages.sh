@@ -26,7 +26,13 @@ SYN_MAX_FRAMES=40 BENCH_FRAMES=122 BENCH_WARM=82 BACKEND_CAP_MULT=4.0 \
   python bench.py > /tmp/bench_r3_s40.json 2> /tmp/bench_r3_s40.log
 log "stage 2.5 done rc=$?"
 
-log "stage 3: quality A/B (seed-major, priority order, resumable)"
+log "stage 2.7: fullres kernel decomposition microbench"
+MB_H=680 MB_W=1200 MB_N=816000 MB_CAP=917504 MB_DMAX=4 MB_BUDGET=2 \
+  python tools/microbench.py pre bin expand fwd bwd fwds bwds reduce \
+  > /tmp/r3_micro.log 2>&1
+log "stage 2.7 done rc=$?"
+
+log "stage 3: quality A/B (variant-major priority order, resumable)"
 python tools/quality_ab.py --seeds 0 1 2 --frames 100 \
   --variants default coarse0 rebin1 refresh submap40 fast submap20 tauk15 coarse24s3 \
   --out output/quality_ab_r3.json > /tmp/r3_ab.log 2>&1
