@@ -116,10 +116,10 @@ def run_slam(h, w, n_frames, warm):
                 backend_.process()
             # scalar-probe fence: block_until_ready does not drain the
             # tunneled device
-            probe = jax.jit(lambda x: x.ravel()[0])
-            float(probe(frontend.map.params.xyz))
+            from gaus_slam_tpu.utils.fence import probe_fence
+            probe_fence(frontend.map.params.xyz)
             if backend_.map is not None:
-                float(probe(backend_.map.params.xyz))
+                probe_fence(backend_.map.params.xyz)
             frontend.t_sync_acc = 0.0
             # reset the per-iter accumulators: frames before the mark
             # include trace+lower storms (30-60s per first-use program)
@@ -219,11 +219,18 @@ def main():
         # bucket at the ~frame-60 merge (a ~90s in-window trace storm);
         # 3.4 still flipped at the frame-60 merge on one run — 4.0 gives
         # the merge peak (global + donor, pre-prune) real headroom
+        prev_mult = os.environ.get("BACKEND_CAP_MULT")
         os.environ["BACKEND_CAP_MULT"] = "4.0"
         n_lg = int(os.environ.get("BENCH_LONG_FRAMES", 66))
         warm_lg = int(os.environ.get("BENCH_LONG_WARM", 22))
         fps_lg, fe_lg, host_lg, sync_lg = run_slam(H, W, n_lg, warm_lg)
-        os.environ["BACKEND_CAP_MULT"] = "2.0"
+        # restore the caller's value for the fullres window (forcing 2.0
+        # would clobber a user-raised floor and invite an in-window
+        # capacity-bucket flip there)
+        if prev_mult is None:
+            del os.environ["BACKEND_CAP_MULT"]
+        else:
+            os.environ["BACKEND_CAP_MULT"] = prev_mult
         out["long_window_slam_fps"] = round(fps_lg, 3)
         out["long_window_frames"] = n_lg - warm_lg
         out["long_window_frame_host_ms"] = round(host_lg, 1)
@@ -295,15 +302,15 @@ def fullres_kernel_stats(h=int(os.environ.get("BENCH_FULLRES_H", 680)),
             return mapping_loss(out, gt, lcfg)[0]
         return jax.grad(loss_fn)(params)
 
-    probe = jax.jit(lambda x: x.ravel()[0])
+    from gaus_slam_tpu.utils.fence import probe_fence
 
     def clock(f, n=6):
         r = f(gm.params)
-        float(probe(jax.tree.leaves(r)[0]))
+        probe_fence(jax.tree.leaves(r)[0])
         t0 = _time.perf_counter()
         for _ in range(n):
             r = f(gm.params)
-        float(probe(jax.tree.leaves(r)[0]))
+        probe_fence(jax.tree.leaves(r)[0])
         return (_time.perf_counter() - t0) / n * 1000
 
     t_fwd = clock(fwd)

@@ -152,6 +152,10 @@ config = dict(
         # rebin=4 20.38 — run noise is ~±0.9 dB, so 2 is quality-neutral
         # and ~10% faster; only 4 shows a clear staleness cost.
         mapping_rebin_every=int(os.environ.get("REBIN_EVERY", 2)),
+        # keyframe-coverage view fused into the tracking program (same
+        # staleness assumption as tracking's pair cache); 0 = fresh
+        # full-binned render_view per keyframe test (reference-exact)
+        fused_kf_view=bool(int(os.environ.get("FUSED_KF_VIEW", 1))),
         # pre-size the maps so the capacity bucket NEVER flips mid-run:
         # every flip re-traces + re-lowers every jitted program (seconds
         # to minutes on a slow host). Frontend is bounded by tau_l; the

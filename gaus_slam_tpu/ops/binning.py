@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .camera import Camera
@@ -63,9 +64,11 @@ class Binning(NamedTuple):
     # Precomputed gradient-reduction sort (``reduce_perm=True`` binnings
     # only; empty otherwise). The sort keys depend only on the binning,
     # so mapping paths that reduce every iteration against one binning
-    # amortize the [R] sort to once per rebin.
-    red_keys: jnp.ndarray = jnp.zeros((0,), jnp.int32)   # [R] sorted keys
-    red_perm: jnp.ndarray = jnp.zeros((0,), jnp.int32)   # [R] sort perm
+    # amortize the [R] sort to once per rebin. Defaults are NUMPY zeros:
+    # NamedTuple defaults evaluate at class definition, and a jnp default
+    # would initialize the (single-tenant) device client at import time.
+    red_keys: jnp.ndarray = np.zeros((0,), np.int32)   # [R] sorted keys
+    red_perm: jnp.ndarray = np.zeros((0,), np.int32)   # [R] sort perm
 
     def slab_scatter_grads(self, pair_grads: jnp.ndarray, n: int,
                            d_max: int | None = None,

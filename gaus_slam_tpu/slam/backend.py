@@ -22,15 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import gaussians as G
-
-# scalar-probe fence for profiling (block_until_ready does not sync
-# through the tunneled device)
-_probe = jax.jit(lambda x: x.ravel()[0])
 from ..models.frame import init_exposure
 from ..models.submap import LocalMap, Localmaps
 from ..ops.composite_ref import frame_to_tiles
 from ..ops.se3 import invert_se3, quat_multiply, rotmat_to_quat
 from ..utils.config import SystemConfig
+from ..utils.fence import probe_fence
 from .steps import (backend_tracking_step, fold_diags, mapping_loop,
                     mapping_step)
 
@@ -219,6 +216,14 @@ class Backend:
             touched.append(lm)
         if not w2cs:
             return {}
+        if len(w2cs) != len(lm_idxs):
+            # a selected submap retained nothing (1-frame submap): a
+            # partial batch would compile a NEW mapping_loop shape bucket
+            # (seconds-to-minutes of trace+lower) — fall back to the
+            # already-compiled single-step program instead
+            for i in lm_idxs:
+                self.mapping(i)
+            return {}
         gm, aux = mapping_loop(self.map, jnp.stack(w2cs), jnp.stack(gts),
                                s.cam, s.opts, s.mcfg, s.lcfg,
                                rebin_every=1)
@@ -361,7 +366,7 @@ class Backend:
                 # scalar-probe fence (block_until_ready does not sync
                 # through the device tunnel)
                 if self.map is not None:
-                    float(_probe(self.map.params.xyz))
+                    probe_fence(self.map.params.xyz)
                 now = _time.perf_counter()
                 print(f"[prof] merge.{label}: {(now-_last[0])*1000:.0f}ms",
                       flush=True)

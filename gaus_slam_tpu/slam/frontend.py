@@ -35,14 +35,12 @@ from .init_map import initialize_map
 from .steps import fold_diags, mapping_loop, mapping_step, tracking_loop
 
 
+from ..utils.fence import probe_fence
+
+
 def _sync(x):
     jax.block_until_ready(x)
     return x
-
-
-# scalar-probe fence for profiling: block_until_ready does not drain the
-# tunneled device; fetching one scalar does
-_probe = jax.jit(lambda x: x.ravel()[0])
 
 
 _bin_full_jit = jax.jit(bin_full, static_argnames=("opts",))
@@ -183,6 +181,7 @@ class Frontend:
             t_bin = time.perf_counter() - t0
         tcfg = s.track_front
         iters_pre = None
+        diag_pre = None
         if self.tracking_refresh and 0 < tcfg.coarse_iters < tcfg.num_iters:
             # phase 1 (coarse) on the init-pose cache, then re-bin at the
             # updated pose and run the full-res phase on a fresh cache
@@ -190,6 +189,10 @@ class Frontend:
                 cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
                 tcfg._replace(num_iters=tcfg.coarse_iters), s.lcfg,
             )
+            # the init-pose cache's binning diagnostics must reach the
+            # escalation ladder too — a transient overflow in phase 1
+            # would otherwise vanish when the cache is rebound
+            diag_pre = (cache.overflow, cache.n_shrunk)
             cache = bin_for_tracking(
                 self.map, s.cam.replace_w2c(pose.w2c), s.opts)
             frame.pose = pose
@@ -209,6 +212,10 @@ class Frontend:
             "overflow": cache.overflow, "n_shrunk": cache.n_shrunk,
             "iters": iters_dev, "depth_l1": aux["depth_l1"],
         }
+        if diag_pre is not None:
+            fetch["overflow"] = jnp.logical_or(fetch["overflow"],
+                                               diag_pre[0])
+            fetch["n_shrunk"] = jnp.maximum(fetch["n_shrunk"], diag_pre[1])
         if want_view:
             fetch["n_low"] = aux["n_low"]
         ts0 = time.perf_counter()
@@ -348,7 +355,7 @@ class Frontend:
         def mark(label):
             if prof:
                 if self.map is not None:
-                    float(_probe(self.map.params.xyz))
+                    probe_fence(self.map.params.xyz)
                 now = time.perf_counter()
                 _marks.append((label, (now - _last[0]) * 1000))
                 _last[0] = now
@@ -359,7 +366,7 @@ class Frontend:
                     kfid=self.cur_lmid)
         self.local_frames.append(cur)
         if prof:
-            float(_probe(cur.gt_depth))  # fence the H2D transfer
+            probe_fence(cur.gt_depth)  # fence the H2D transfer
             mark("h2d")
 
         if len(self.local_frames) == 1:

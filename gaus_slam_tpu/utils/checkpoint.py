@@ -139,7 +139,9 @@ def restore_run_state(path: str, frontend, backend, dataset) -> int:
     # rebuild the live (uncut) submap: every frame keeps its image until
     # the cut, so reload them all from the dataset by time_idx
     frontend.local_frames = []
-    for fm in meta["cur_frames"]:
+    # .get: checkpoints written before cur_frames existed still restore
+    # (they just start a fresh submap at the resume frame)
+    for fm in meta.get("cur_frames", []):
         color, depth, _, c2w = dataset[fm["time_idx"]]
         depth = np.asarray(depth)
         if depth.ndim == 3:
@@ -156,9 +158,10 @@ def restore_run_state(path: str, frontend, backend, dataset) -> int:
     # the last frame is "last" for the next process_frame's velocity
     # model; a fresh pose optimizer starts per frame, so est_w2c is
     # enough (checkpoints are only written between frames)
-    frontend.local_frames[-1].start_optimizer(
-        frontend.local_frames[-1].est_w2c,
-        frontend.sys.lcfg.enable_exposure)
+    if frontend.local_frames:
+        frontend.local_frames[-1].start_optimizer(
+            frontend.local_frames[-1].est_w2c,
+            frontend.sys.lcfg.enable_exposure)
 
     if backend is not None and "backend_map" in state:
         backend.map = _map_from(state["backend_map"])

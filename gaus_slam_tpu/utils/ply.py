@@ -112,6 +112,10 @@ def read_mesh_ply(path):
                     verts = np.array([[float(r[i]) for i in idx]
                                       for r in rows], np.float32)
                 elif name == "face":
+                    if any(int(r[0]) != 3 for r in rows):
+                        raise ValueError(
+                            "only triangular faces supported (found a "
+                            "face with vertex count != 3)")
                     tris = np.array([[int(v) for v in r[1:4]] for r in rows],
                                     np.int32)
         else:
@@ -127,7 +131,14 @@ def read_mesh_ply(path):
                     ct, it = _SZ[props[0][1]], _SZ[props[0][2]]
                     raw = f.read(count * (ct[1] + 3 * it[1]))
                     dt = np.dtype([("k", ct[0]), ("i", it[0], 3)])
-                    data = np.frombuffer(raw, dtype=dt, count=count)
+                    n_got = len(raw) // dt.itemsize
+                    data = np.frombuffer(raw, dtype=dt, count=n_got)
+                    # the fixed stride assumes triangles; a quad/mixed
+                    # mesh would silently shift the stream — fail loudly
+                    if n_got != count or not (data["k"] == 3).all():
+                        raise ValueError(
+                            "only triangular faces supported (face list "
+                            "with vertex count != 3 in binary ply)")
                     tris = data["i"].astype(np.int32)
                 else:  # skip unknown fixed-size element
                     row = sum(_SZ[p[0]][1] for p in props if p[0] != "list")

@@ -55,6 +55,9 @@ VARIANTS = {
     "tauk15": {"SYN_TAU_K": "0.15"},
     # config_fast-analogue shape: long submaps + sparse keyframes
     "fast": {"SYN_TAU_K": "0.15", "SYN_MAX_FRAMES": "40"},
+    # keyframe test + densify input from a fresh render_view instead of
+    # the fused tracking-cache view (reference-exact kf semantics)
+    "kfview0": {"FUSED_KF_VIEW": "0"},
 }
 
 

@@ -34,6 +34,6 @@ log "stage 2.7 done rc=$?"
 
 log "stage 3: quality A/B (variant-major priority order, resumable)"
 python tools/quality_ab.py --seeds 0 1 2 --frames 100 \
-  --variants default coarse0 rebin1 refresh submap40 fast submap20 tauk15 coarse24s3 \
+  --variants default coarse0 rebin1 refresh submap40 fast kfview0 submap20 tauk15 coarse24s3 \
   --out output/quality_ab_r3.json > /tmp/r3_ab.log 2>&1
 log "stage 3 done rc=$?"
