@@ -140,6 +140,9 @@ class Frame:
 
     def start_optimizer(self, initial_w2c, enable_exposure=False):
         self.pose = init_pose(initial_w2c)
+        # host mirror of the pose for host-side velocity math (refreshed
+        # by the frontend's fused tracking readback after each track)
+        self._w2c_host = np.asarray(initial_w2c, dtype=np.float32)
         if enable_exposure:
             self.exposure = init_exposure()
 

@@ -190,17 +190,35 @@ def add_gaussians(
     n_new = jnp.sum(vi)
     dest = jnp.where(valid, gm.n_active + rank, C)   # C = dropped (OOB)
 
-    def scat(dst, src):
-        return dst.at[dest].set(src, mode="drop")
-
-    params = Params(*(scat(d, s) for d, s in zip(gm.params, new)))
-    m = Params(*(scat(d, jnp.zeros_like(s)) for d, s in zip(gm.m, new)))
-    v = Params(*(scat(d, jnp.zeros_like(s)) for d, s in zip(gm.v, new)))
-    active = gm.active.at[dest].set(valid, mode="drop")
+    # ONE wide scatter (params | zeroed m | zeroed v | active): TPU
+    # scatter cost is per ROW (~120 ns), not per byte — 16 narrow
+    # scatters over H*W candidate rows cost ~400 ms per densify, the
+    # single 40-column scatter ~25 ms (same trick as add_params).
+    zeros_src = [jnp.zeros_like(s) for s in new]
+    dst = jnp.concatenate(
+        list(gm.params) + list(gm.m) + list(gm.v)
+        + [gm.active[:, None].astype(jnp.float32)], axis=1)
+    src = jnp.concatenate(
+        list(new) + zeros_src + zeros_src
+        + [valid[:, None].astype(jnp.float32)], axis=1)
+    dst = dst.at[dest].set(src, mode="drop")
+    params, m, v, active = _unpack_wide(dst)
     return gm._replace(
         params=params, m=m, v=v, active=active,
         n_active=jnp.minimum(gm.n_active + n_new, C),
     )
+
+
+def _unpack_wide(dst: jnp.ndarray) -> tuple[Params, Params, Params, jnp.ndarray]:
+    """Split a [C, 40] (params | m | v | active) block back into pytrees."""
+    dims = [PARAM_DIMS[f] for f in PARAM_FIELDS]
+    offs = np.cumsum([0] + dims * 3).tolist()
+
+    def unpack(base):
+        return Params(*(dst[:, offs[base + i]:offs[base + i + 1]]
+                        for i in range(len(dims))))
+
+    return unpack(0), unpack(5), unpack(10), dst[:, offs[-1]] > 0.5
 
 
 def add_params(
@@ -226,17 +244,9 @@ def add_params(
         list(new) + zeros_src + zeros_src
         + [new_active[:, None].astype(jnp.float32)], axis=1)
     dst = dst.at[dest].set(src, mode="drop")
-
-    dims = [PARAM_DIMS[f] for f in PARAM_FIELDS]
-    offs = np.cumsum([0] + dims * 3).tolist()
-
-    def unpack(base):
-        return Params(*(dst[:, offs[base + i]:offs[base + i + 1]]
-                        for i in range(len(dims))))
-
+    params, m, v, active = _unpack_wide(dst)
     return gm._replace(
-        params=unpack(0), m=unpack(5), v=unpack(10),
-        active=dst[:, offs[-1]] > 0.5,
+        params=params, m=m, v=v, active=active,
         n_active=jnp.minimum(gm.n_active + n_new, C),
     )
 
@@ -249,13 +259,14 @@ def prune(gm: GaussianMap, prune_mask: jnp.ndarray) -> GaussianMap:
     order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
     n_new = jnp.sum(keep).astype(jnp.int32)
 
-    def gather(x):
-        return x[order]
-
-    params = Params(*(gather(p) for p in gm.params))
-    m = Params(*(gather(p) for p in gm.m))
-    v = Params(*(gather(p) for p in gm.v))
+    # ONE wide gather: row-gather cost is per ROW (~12 ns), not per
+    # byte — 15 narrow gathers over a 1M-row backend map cost ~180 ms,
+    # the single 39-column gather ~12 ms.
+    wide = jnp.concatenate(
+        list(gm.params) + list(gm.m) + list(gm.v), axis=1)[order]
     active = jnp.arange(gm.capacity) < n_new
+    params, m, v, _ = _unpack_wide(
+        jnp.concatenate([wide, active[:, None].astype(jnp.float32)], axis=1))
     return gm._replace(params=params, m=m, v=v, active=active, n_active=n_new)
 
 

@@ -92,6 +92,10 @@ class Backend:
             "backend_capacity", 0))
 
         self.map: G.GaussianMap | None = None
+        # host mirror of map.n_active: merges add donor counts to it and
+        # prune's _fit_capacity refreshes it, so the merge path never
+        # forces a mid-merge device-queue drain
+        self.n_active_host = 0
         self.local_maps = Localmaps()
         self.cur_lmid = -1
         self.task_queue = _queue.Queue()
@@ -133,7 +137,12 @@ class Backend:
     # ------------------------------------------------------------------
     def _fit_capacity(self, needed: int | None = None):
         gm = self.map
-        n = int(gm.n_active) if needed is None else needed
+        if needed is None:
+            # one device sync; refresh the host mirror while we're at it
+            # (merges size buckets from the mirror so they never sync)
+            needed = int(gm.n_active)
+            self.n_active_host = needed
+        n = needed
         cap = G.bucket_capacity(n, self.capacity_quantum,
                                 self.capacity_margin, self.capacity_floor)
         if cap < gm.capacity and n > 0.35 * gm.capacity:
@@ -377,13 +386,18 @@ class Backend:
         self.cur_lmid += 1
         params, active, n_active = lm.map_params
         lm.map_params = None
+        # donor count: host mirror from the cut when available (reading
+        # the device scalar here would drain the whole device queue)
+        n_donor = (lm.n_active_host if lm.n_active_host is not None
+                   else int(n_active))
         _mark("add_localmap")
 
         if self.cur_lmid == 0:
             initial_w2kf = np.eye(4, dtype=np.float32)
         else:
             last = self.local_maps[self.cur_lmid - 1]
-            initial_w2kf = np.asarray(last.get_frame_w2c(-1))
+            # stays a device array: np.asarray would sync the queue
+            initial_w2kf = last.get_frame_w2c(-1)
 
         if not lm.tracking_ok:
             print("backend global tracking for local tracking lost")
@@ -395,25 +409,27 @@ class Backend:
         _mark("retrack_or_init")
 
         if self.cur_lmid == 0:
-            cap = G.bucket_capacity(int(n_active), self.capacity_quantum,
+            cap = G.bucket_capacity(n_donor, self.capacity_quantum,
                                     self.capacity_margin,
                                     self.capacity_floor)
             gm = G.empty_map(cap)
             self.map = G.add_params(gm, params, active)
+            self.n_active_host = n_donor
             for _ in range(self.num_ba_iters):
                 self.task_queue.put(("mapping", 0))
         else:
-            transfer = np.asarray(
-                invert_se3(jnp.asarray(lm.get_w2c))
-            ) @ lm.ref2f0
-            params = transform_params(params, jnp.asarray(transfer,
-                                                          jnp.float32))
+            # transfer stays ON DEVICE: np.asarray here would block on
+            # every queued device op before the merge can even dispatch
+            transfer = invert_se3(jnp.asarray(lm.get_w2c)) \
+                @ jnp.asarray(lm.ref2f0)
+            params = transform_params(params, transfer.astype(jnp.float32))
             # merged gaussians start (almost) transparent (Backend.py:226)
             cap_logit = float(np.log(0.01 / 0.99))
             params = params._replace(
                 opacity_logit=jnp.minimum(params.opacity_logit, cap_logit)
             )
-            self._fit_capacity(int(self.map.n_active) + int(n_active))
+            self._fit_capacity(self.n_active_host + n_donor)
+            self.n_active_host += n_donor
             _mark("transform+fit")
             self.map = G.add_params(self.map, params, active)
             _mark("add_params")
@@ -445,7 +461,9 @@ class Backend:
                 print(f"[prof] backend submap: {dt:.1f}s for {n_tasks} tasks "
                       f"({dt/max(n_tasks,1)*1000:.0f}ms/task) "
                       f"n={int(self.map.n_active)}")
-        self.totalpts_rec.append(int(self.map.n_active))
+        # host mirror (exact: merges add the donor count, prune refreshes)
+        # — reading the device scalar would drain the queue per merge
+        self.totalpts_rec.append(self.n_active_host)
 
     def update_common_visualization(self):
         """Per-submap backend dashboards (Backend.py:271-331): aligned

@@ -27,7 +27,6 @@ from ..models import gaussians as G
 from ..models.frame import Frame, init_exposure, init_pose
 from ..models.submap import LocalMap
 from ..ops.composite_ref import frame_to_tiles
-from ..ops.se3 import invert_se3
 from ..render import bin_for_tracking, bin_full, render_view
 from ..utils.config import SystemConfig
 from .densify import add_new_gaussians, prune_gaussians
@@ -41,6 +40,22 @@ from ..utils.fence import probe_fence
 def _sync(x):
     jax.block_until_ready(x)
     return x
+
+
+def _host_w2c(frame) -> np.ndarray:
+    """Host mirror of a frame's current pose. Tracked frames carry
+    ``_w2c_host`` from the fused tracking readback; anything else falls
+    back to one device readback."""
+    w = getattr(frame, "_w2c_host", None)
+    return w if w is not None else np.asarray(frame.get_w2c)
+
+
+def _host_inv_se3(m: np.ndarray) -> np.ndarray:
+    inv = np.eye(4, dtype=np.float32)
+    R, t = m[:3, :3], m[:3, 3]
+    inv[:3, :3] = R.T
+    inv[:3, 3] = -R.T @ t
+    return inv
 
 
 _bin_full_jit = jax.jit(bin_full, static_argnames=("opts",))
@@ -211,6 +226,10 @@ class Frontend:
         fetch = {
             "overflow": cache.overflow, "n_shrunk": cache.n_shrunk,
             "iters": iters_dev, "depth_l1": aux["depth_l1"],
+            # final pose matrix rides along: the velocity-model update
+            # needs it on the host, and a separate np.asarray(pose.w2c)
+            # would cost one more tunnel round-trip per frame
+            "w2c": aux["w2c"],
         }
         if diag_pre is not None:
             fetch["overflow"] = jnp.logical_or(fetch["overflow"],
@@ -224,6 +243,7 @@ class Frontend:
         self.t_sync_acc = (getattr(self, "t_sync_acc", 0.0)
                            + time.perf_counter() - ts0)
         self._check_escalation(host)
+        frame._w2c_host = np.asarray(host["w2c"])
         iters = int(host["iters"])
         if os.environ.get("GAUS_PROFILE"):
             print(f"[prof] track: bin={t_bin*1000:.0f}ms "
@@ -380,7 +400,7 @@ class Frontend:
         last = self.local_frames[-2]
         if not self.vel_pose_init:
             self.vel = np.eye(4, dtype=np.float32)
-        initial_w2c = self.vel @ np.asarray(last.get_w2c)
+        initial_w2c = self.vel @ _host_w2c(last)
         cur.start_optimizer(initial_w2c, s.lcfg.enable_exposure)
         # the keyframe-coverage view rides along with tracking unless the
         # submap will be cut anyway (then it's never consumed). Whether a
@@ -411,14 +431,15 @@ class Frontend:
         )
 
         if not tracking_flag:
-            cur.start_optimizer(np.asarray(last.get_w2c),
-                                s.lcfg.enable_exposure)
+            cur.start_optimizer(_host_w2c(last), s.lcfg.enable_exposure)
+            cur._w2c_host = _host_w2c(last)
             self.vel = np.eye(4, dtype=np.float32)
             print("Tracking failed, reset localmap!!!")
         else:
-            self.vel = np.asarray(
-                cur.get_w2c @ invert_se3(jnp.asarray(last.get_w2c))
-            )
+            # velocity update on the host: both poses are host mirrors
+            # (the tracked one came back in the fused readback), so no
+            # extra device round-trip per frame
+            self.vel = cur._w2c_host @ _host_inv_se3(_host_w2c(last))
 
         if not is_refkf:
             hw = s.cam.height * s.cam.width
@@ -466,7 +487,7 @@ class Frontend:
         lm = LocalMap.cut(
             self.cur_lmid, self.local_frames, G.extract_params(self.map),
             self.num_frame_saved, tracking_ok=self.tracking_flag,
-            rng=self.rng,
+            rng=self.rng, n_active_host=self.n_active_host,
         )
         if prof:
             t_cut = time.perf_counter() - t0
@@ -494,7 +515,7 @@ class Frontend:
             lm = LocalMap.cut(
                 self.cur_lmid, self.local_frames,
                 G.extract_params(self.map), self.num_frame_saved,
-                rng=self.rng,
+                rng=self.rng, n_active_host=self.n_active_host,
             )
             self.cur_lmid += 1
             self.to_backend.put(lm)

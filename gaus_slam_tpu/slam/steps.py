@@ -115,7 +115,11 @@ def tracking_loop(
         cond_until(tcfg.num_iters), make_body(make_grad_fn(None, gt_tiled)),
         carry,
     )
-    aux = {"iters": iters, "loss": loss, "depth_l1": depth_l1}
+    aux = {"iters": iters, "loss": loss, "depth_l1": depth_l1,
+           # final pose matrix, computed in-program: the host needs it
+           # for velocity math, and an eager pose.w2c costs ~10 small
+           # dispatches through the tunnel
+           "w2c": pose.w2c}
     if want_view:
         out = render_tracking(
             cache, lax.stop_gradient(pose.quat),

@@ -165,6 +165,7 @@ def restore_run_state(path: str, frontend, backend, dataset) -> int:
 
     if backend is not None and "backend_map" in state:
         backend.map = _map_from(state["backend_map"])
+        backend.n_active_host = int(backend.map.n_active)
         backend.totalpts_rec = list(meta["totalpts_rec"])
         backend.ape_rec = list(meta["ape_rec"])
         for i, lmm in enumerate(meta["localmaps"]):

@@ -299,6 +299,34 @@ def main():
             return tracking_loop(cache, pose, gt_tiled, cam, opts, tcfg, lcfg)
         out_t = bench("tracking_loop (10 iters)", f_track, cache, pose)
 
+    if on("surgery"):
+        # map-surgery ops: the keyframe densify/prune and merge events
+        # (wide single-scatter/gather vs the old 15-16 narrow ops)
+        from gaus_slam_tpu.models import gaussians as G
+        from gaus_slam_tpu.slam.densify import (DensifyConfig,
+                                                add_new_gaussians,
+                                                prune_gaussians)
+
+        dcfg = DensifyConfig()
+        gt_c = jax.random.uniform(jax.random.PRNGKey(3), (H, W, 3))
+        gt_d = jnp.full((H, W), 2.0)
+        view = render_view(gm, cam, opts)
+
+        def f_dens(gm):
+            return add_new_gaussians(gm, w2c, gt_c, gt_d, view, cam, opts,
+                                     dcfg, lcfg)
+        bench("add_new_gaussians (densify)", f_dens, gm)
+
+        def f_prune(gm):
+            return prune_gaussians(gm, dcfg)
+        bench("prune_gaussians", f_prune, gm)
+
+        @jax.jit
+        def f_addp(gm):
+            return G.add_params(gm, gm.params,
+                                gm.active & (jnp.arange(CAP) % 7 == 0))
+        bench("add_params (merge scatter)", f_addp, gm)
+
 
 if __name__ == "__main__":
     main()
