@@ -286,6 +286,26 @@ def fullres_kernel_stats(h=int(os.environ.get("BENCH_FULLRES_H", 680)),
     opts = RenderOptions(grid=grid, backend=_backend_name())
     lcfg = LossConfig()
     cam = cam0.replace_w2c(w2c)
+
+    # Static pair budgets can overflow at a fresh scale; a live run
+    # escalates pair_budget_factor (SystemConfig.maybe_escalate, 1.5x
+    # steps) and re-jits ONCE, after which every iteration runs the
+    # exact fast reduce path. Measure that steady state: probe the real
+    # pair demand (sum of post-shrink per-gaussian tile counts) and walk
+    # the same ladder the run would converge to. Without this the datum
+    # measures the transient overflow program (slab reduce ~145 ms at
+    # 680x1200) that production executes at most a handful of times.
+    @jax.jit
+    def _pair_demand(params):
+        _, bins = render_full(params, gm.active, cam, opts)
+        return jnp.sum(bins.counts)
+
+    needed = int(jax.device_get(_pair_demand(gm.params)))
+    factor = opts.pair_budget_factor
+    while factor < 16 and factor * cap < needed:
+        factor = round(factor * 1.5, 3)
+    if factor != opts.pair_budget_factor:
+        opts = opts._replace(pair_budget_factor=factor)
     gt = image_to_tiles(
         jnp.concatenate([jnp.asarray(color / 255.0).transpose(2, 0, 1),
                          jnp.asarray(depth)[None]], 0), grid)
@@ -322,6 +342,7 @@ def fullres_kernel_stats(h=int(os.environ.get("BENCH_FULLRES_H", 680)),
         "fullres_fwd_mpix_s": round(mpix / (t_fwd / 1000), 1),
         "fullres_fwd_bwd_mpix_s": round(mpix / (t_fb / 1000), 1),
         "fullres_num_kernel_gaussians": int(gm.n_active),
+        "fullres_kernel_budget_factor": opts.pair_budget_factor,
     }
 
 
