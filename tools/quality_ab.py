@@ -98,6 +98,9 @@ def main():
     ap.add_argument("--width", type=int, default=600)
     ap.add_argument("--variants", nargs="+", default=list(VARIANTS))
     ap.add_argument("--out", default="output/quality_ab.json")
+    ap.add_argument("--summarize-only", action="store_true",
+                    help="print the aggregate table from --out and exit "
+                         "(no TPU client; safe while a sweep is running)")
     args = ap.parse_args()
 
     # variant-major (pass --variants in priority order): a sweep cut
@@ -120,31 +123,52 @@ def main():
                 f.write(json.dumps(r) + "\n")
         print(json.dumps(row), flush=True)
 
-    for variant in args.variants:
-        seeds = [s for s in args.seeds if (s, variant) not in done]
-        if seeds:
-            run_variant(variant, seeds, args.frames, args.height,
-                        args.width, on_row)
+    if not args.summarize_only:
+        for variant in args.variants:
+            seeds = [s for s in args.seeds if (s, variant) not in done]
+            if seeds:
+                run_variant(variant, seeds, args.frames, args.height,
+                            args.width, on_row)
 
-    # aggregate table (markdown, for PERF.md)
+    # aggregate table (markdown, for PERF.md). Adoption rule: a perf
+    # knob ships as default only if its seed-mean PSNR is within the
+    # 0.3 dB parity budget of the `default` row (BASELINE.md) and its
+    # ATE-RMSE mean is not worse than default + 1 pooled std.
     import statistics as st
 
-    print("\n| variant | PSNR (dB) | ATE-RMSE | runs |")
-    print("|---|---|---|---|")
-    for variant in args.variants:
-        vs = [r for r in rows if r["variant"] == variant and "psnr" in r
-              and r["psnr"] is not None]
+    def stats(variant):
+        vs = [r for r in rows if r["variant"] == variant
+              and r.get("psnr") is not None]
         if not vs:
-            print(f"| {variant} | failed | failed | 0 |")
-            continue
+            return None
         p = [r["psnr"] for r in vs]
         a = [r["ate_rmse"] for r in vs]
-        pm = st.mean(p)
-        ps = st.stdev(p) if len(p) > 1 else 0.0
-        am = st.mean(a)
-        asd = st.stdev(a) if len(a) > 1 else 0.0
-        print(f"| {variant} | {pm:.2f} +- {ps:.2f} | {am:.4f} +- {asd:.4f} "
-              f"| {len(vs)} |")
+        w = [r.get("wall_s", float("nan")) for r in vs]
+        return {
+            "n": len(vs),
+            "psnr": st.mean(p), "psnr_sd": st.stdev(p) if len(p) > 1 else 0.0,
+            "ate": st.mean(a), "ate_sd": st.stdev(a) if len(a) > 1 else 0.0,
+            "wall": st.mean(w),
+        }
+
+    base = stats("default")
+    print("\n| variant | PSNR (dB) | ATE-RMSE | wall s/run | runs | "
+          "within budget |")
+    print("|---|---|---|---|---|---|")
+    for variant in args.variants:
+        s = stats(variant)
+        if s is None:
+            print(f"| {variant} | failed | failed | - | 0 | - |")
+            continue
+        verdict = "-"
+        if base is not None and variant != "default":
+            ok_psnr = s["psnr"] >= base["psnr"] - 0.3
+            ok_ate = s["ate"] <= base["ate"] + max(base["ate_sd"],
+                                                   s["ate_sd"])
+            verdict = "yes" if (ok_psnr and ok_ate) else "NO"
+        print(f"| {variant} | {s['psnr']:.2f} +- {s['psnr_sd']:.2f} "
+              f"| {s['ate']:.4f} +- {s['ate_sd']:.4f} "
+              f"| {s['wall']:.0f} | {s['n']} | {verdict} |")
 
 
 if __name__ == "__main__":
