@@ -156,6 +156,9 @@ config = dict(
         # staleness assumption as tracking's pair cache); 0 = fresh
         # full-binned render_view per keyframe test (reference-exact)
         fused_kf_view=bool(int(os.environ.get("FUSED_KF_VIEW", 1))),
+        # speculative next-frame tracking binning (value-identical to
+        # the host pose init; pure dispatch-overlap — see Frontend)
+        speculative_bin=bool(int(os.environ.get("SPEC_BIN", 1))),
         # pre-size the maps so the capacity bucket NEVER flips mid-run:
         # every flip re-traces + re-lowers every jitted program (seconds
         # to minutes on a slow host). Frontend is bounded by tau_l; the

@@ -16,8 +16,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.se3 import pose_matrix
 from .descriptor import describe_frames, query_covisible
 from .frame import Frame, PoseState, init_pose
+
+# composed pose as ONE dispatch: eager `est @ transform.w2c` runs ~12
+# small ops through the tunneled device (~1 ms each), and the backend
+# evaluates this once per mapping/BA task
+_compose_w2c = jax.jit(lambda est, q, t: est @ pose_matrix(q, t))
+
+# stacked quats/trans -> [K, 4, 4] pose matrices, one dispatch (the
+# submap cut freezes ~10 frame poses at once)
+_stack_pose_w2cs = jax.jit(jax.vmap(pose_matrix))
 
 
 @dataclass
@@ -65,12 +75,17 @@ class LocalMap:
         # (~60 ms x ~10 frames dominated the measured cut cost).
         fetch = {"desc": describe_frames(reps)}
         posed = [f for f in frames if f.pose is not None]
-        fetch["w2cs"] = [f.pose.w2c for f in posed]
+        if posed:
+            # one vmapped quat->matrix dispatch; per-frame eager pose.w2c
+            # runs ~10 small ops each through the tunneled device
+            fetch["w2cs"] = _stack_pose_w2cs(
+                jnp.stack([f.pose.quat for f in posed]),
+                jnp.stack([f.pose.trans for f in posed]))
         exposed = [f for f in frames if f.exposure is not None]
         fetch["exps"] = [(f.exposure.gain, f.exposure.bias) for f in exposed]
         host = jax.device_get(fetch)
         lm.map_desc = np.asarray(host["desc"])
-        for f, w2c in zip(posed, host["w2cs"]):
+        for f, w2c in zip(posed, host.get("w2cs", [])):
             f.est_w2c = np.asarray(w2c)
             f.pose = None
         for f, (gain, bias) in zip(exposed, host["exps"]):
@@ -96,7 +111,9 @@ class LocalMap:
         """Composed pose: frame-in-submap @ submap transform
         (Frame.py:246-248)."""
         assert self.transform is not None
-        return jnp.asarray(self.frames[f_idx].est_w2c) @ self.transform.w2c
+        return _compose_w2c(
+            jnp.asarray(self.frames[f_idx].est_w2c, jnp.float32),
+            self.transform.quat, self.transform.trans)
 
     @property
     def get_w2c(self):

@@ -60,6 +60,23 @@ def _host_inv_se3(m: np.ndarray) -> np.ndarray:
 
 _bin_full_jit = jax.jit(bin_full, static_argnames=("opts",))
 
+# pose state -> 4x4 matrix as ONE dispatch (eager PoseState.w2c runs
+# ~10 small ops through the tunneled device at ~1 ms each)
+_pose_w2c = jax.jit(lambda pose: pose.w2c)
+
+# stacked pose states -> [K, 4, 4] matrices as one dispatch (the fused
+# keyframe-mapping path stacks ~10 frame poses per call)
+from ..ops.se3 import pose_matrix as _pose_matrix  # noqa: E402
+
+_stack_w2cs = jax.jit(jax.vmap(_pose_matrix))
+
+
+def _frame_w2c(frame):
+    """One-dispatch device w2c for a frame (pose live or frozen)."""
+    if getattr(frame, "pose", None) is not None:
+        return _pose_w2c(frame.pose)
+    return jnp.asarray(frame.get_w2c, jnp.float32)
+
 
 class Frontend:
     def __init__(self, config: dict, to_backend, wandb_run=None,
@@ -107,6 +124,15 @@ class Frontend:
         # reference semantics (fresh full binning via render_view)
         self.fused_kf_view = bool(config.get("tpu", {}).get(
             "fused_kf_view", True))
+        # speculative next-frame binning: dispatch frame t+1's tracking
+        # binning (at the in-program velocity-predicted pose — the same
+        # value the host init would compute) before frame t's blocking
+        # readback, overlapping the binning's device time with the host's
+        # per-frame python. Value-identical to the non-speculative path;
+        # auto-discarded whenever the map changes (keyframe/cut/lost).
+        self.speculative_bin = bool(config.get("tpu", {}).get(
+            "speculative_bin", True))
+        self._spec = None
 
         self.map: G.GaussianMap | None = None
         self.local_frames: list[Frame] = []
@@ -161,7 +187,8 @@ class Frontend:
         cap = self._capacity_for(frame.gt_color.shape[0]
                                  * frame.gt_color.shape[1])
         self.map = initialize_map(
-            cap, frame.gt_color, frame.gt_depth, frame.get_w2c, self.sys.cam
+            cap, frame.gt_color, frame.gt_depth, _frame_w2c(frame),
+            self.sys.cam
         )
         self.n_active_host = int(self.map.n_active)
         self.mapping()
@@ -182,15 +209,24 @@ class Frontend:
                   f"{new.opts.max_tiles_per_gaussian}")
             self.sys = new
 
-    def tracking(self, frame: Frame, want_view: bool = False):
+    def tracking(self, frame: Frame, want_view: bool = False,
+                 prev_pose=None, spec_cache=None):
         """Returns (depth_l1, view_render|None, n_low|None). With
         ``want_view`` the final-pose render + its low-alpha pixel count
         come back from the SAME program and readback as the tracking
-        loop — the keyframe test costs no extra dispatch or sync."""
+        loop — the keyframe test costs no extra dispatch or sync.
+
+        ``spec_cache``: a PairCache speculatively binned during the
+        PREVIOUS frame's tracking at this frame's (identical) init pose —
+        skips this frame's binning dispatch entirely. ``prev_pose``
+        enables the next frame's speculation (see tracking_loop)."""
         s = self.sys
         t0 = time.perf_counter()
-        cam0 = s.cam.replace_w2c(frame.pose.w2c)
-        cache = bin_for_tracking(self.map, cam0, s.opts)
+        if spec_cache is not None:
+            cache = spec_cache
+        else:
+            cam0 = s.cam.replace_w2c(_pose_w2c(frame.pose))
+            cache = bin_for_tracking(self.map, cam0, s.opts)
         if os.environ.get("GAUS_PROFILE"):
             _sync(cache.raw_t)
             t_bin = time.perf_counter() - t0
@@ -209,14 +245,17 @@ class Frontend:
             # would otherwise vanish when the cache is rebound
             diag_pre = (cache.overflow, cache.n_shrunk)
             cache = bin_for_tracking(
-                self.map, s.cam.replace_w2c(pose.w2c), s.opts)
+                self.map, s.cam.replace_w2c(_pose_w2c(pose)), s.opts)
             frame.pose = pose
             iters_pre = aux1["iters"]
             tcfg = tcfg._replace(
                 num_iters=tcfg.num_iters - tcfg.coarse_iters, coarse_iters=0)
+        predict = (self.speculative_bin and prev_pose is not None)
         pose, aux = tracking_loop(
             cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
             tcfg, s.lcfg, want_view=want_view,
+            prev_pose=prev_pose if predict else None,
+            predict=predict, use_vel=self.vel_pose_init,
         )
         frame.pose = pose
         # ONE fused readback for everything the host needs this frame
@@ -237,13 +276,28 @@ class Frontend:
             fetch["n_shrunk"] = jnp.maximum(fetch["n_shrunk"], diag_pre[1])
         if want_view:
             fetch["n_low"] = aux["n_low"]
+        if predict:
+            # dispatch the NEXT frame's binning at the predicted pose
+            # BEFORE the blocking readback below: the device crunches it
+            # while the host runs this frame's python. Discarded (by map
+            # object identity) if anything changes the map first.
+            fetch["pred_w2c"] = aux["pred_w2c"]
+            spec_next = bin_for_tracking(
+                self.map, s.cam.replace_w2c(aux["pred_w2c"]), s.opts)
         ts0 = time.perf_counter()
         host = jax.device_get(fetch)
         # device-drain wait vs host dispatch split (bench reporting)
         self.t_sync_acc = (getattr(self, "t_sync_acc", 0.0)
                            + time.perf_counter() - ts0)
+        sys_before = self.sys
         self._check_escalation(host)
         frame._w2c_host = np.asarray(host["w2c"])
+        # if escalation just bumped the pair budgets, the speculated
+        # cache was binned with the OLD budget — using it would overflow
+        # again and double-escalate; drop it and re-bin next frame
+        self._spec = ((self.map, spec_next, aux["pred_pose"],
+                       np.asarray(host["pred_w2c"]))
+                      if predict and self.sys is sys_before else None)
         iters = int(host["iters"])
         if os.environ.get("GAUS_PROFILE"):
             print(f"[prof] track: bin={t_bin*1000:.0f}ms "
@@ -269,8 +323,15 @@ class Frontend:
             t0 = time.perf_counter()
             k = self.num_mapping_iters // self.rebin_every
             sel = [self.rng.choice(frames) for _ in range(k)]
-            w2cs = jnp.stack(
-                [jnp.asarray(f.get_w2c, jnp.float32) for f in sel])
+            if all(getattr(f, "pose", None) is not None for f in sel):
+                # one vmapped dispatch; per-frame eager pose.w2c costs
+                # ~10 small tunnel dispatches each
+                w2cs = _stack_w2cs(
+                    jnp.stack([f.pose.quat for f in sel]),
+                    jnp.stack([f.pose.trans for f in sel]))
+            else:
+                w2cs = jnp.stack(
+                    [jnp.asarray(f.get_w2c, jnp.float32) for f in sel])
             gts = jnp.stack([self._tile_gt(f) for f in sel])
             gm, aux = mapping_loop(self.map, w2cs, gts, s.cam, s.opts,
                                    s.mcfg, s.lcfg,
@@ -303,16 +364,17 @@ class Frontend:
             # staleness argument as the tracking pair cache). rebin_every
             # = 1 re-bins inside every step exactly like the reference.
             group = min(self.rebin_every, self.num_mapping_iters - it)
+            f_w2c = _frame_w2c(frame)
             bins = None
             if group > 1:
                 bins = _bin_full_jit(
                     self.map.params, self.map.active,
-                    s.cam.replace_w2c(jnp.asarray(frame.get_w2c)), s.opts)
+                    s.cam.replace_w2c(f_w2c), s.opts)
             for j in range(group):
                 exp = (frame.exposure if frame.exposure is not None
                        else exp_dummy)
                 gm, exp, aux = mapping_step(
-                    self.map, frame.get_w2c, self._tile_gt(frame), exp,
+                    self.map, f_w2c, self._tile_gt(frame), exp,
                     jnp.bool_(s.lcfg.enable_exposure
                               and frame.mapping_times > 10),
                     s.exp_sched_front, s.cam, s.opts, s.mcfg, s.lcfg,
@@ -348,7 +410,7 @@ class Frontend:
 
     def _densify(self, frame: Frame, render_out=None):
         s = self.sys
-        w2c = jax.lax.stop_gradient(frame.get_w2c)
+        w2c = jax.lax.stop_gradient(_frame_w2c(frame))
         if render_out is None:
             render_out = render_view(self.map, s.cam.replace_w2c(w2c), s.opts)
         self.map = add_new_gaussians(
@@ -400,8 +462,20 @@ class Frontend:
         last = self.local_frames[-2]
         if not self.vel_pose_init:
             self.vel = np.eye(4, dtype=np.float32)
-        initial_w2c = self.vel @ _host_w2c(last)
-        cur.start_optimizer(initial_w2c, s.lcfg.enable_exposure)
+        spec = self._spec
+        self._spec = None
+        spec_ok = spec is not None and spec[0] is self.map
+        if spec_ok:
+            # the previous frame's tracking already produced this frame's
+            # pose init (device PoseState) and its binning — host pose
+            # math and the binning dispatch are both skipped
+            cur.pose = spec[2]
+            cur._w2c_host = spec[3]
+            if s.lcfg.enable_exposure:
+                cur.exposure = init_exposure()
+        else:
+            initial_w2c = self.vel @ _host_w2c(last)
+            cur.start_optimizer(initial_w2c, s.lcfg.enable_exposure)
         # the keyframe-coverage view rides along with tracking unless the
         # submap will be cut anyway (then it's never consumed). Whether a
         # cut happens depends on depth_l1, known only after tracking; the
@@ -413,7 +487,9 @@ class Frontend:
         )
         mark("pose_init")
         depth_l1, view_out, n_low = self.tracking(
-            cur, want_view=may_need_view and self.fused_kf_view)
+            cur, want_view=may_need_view and self.fused_kf_view,
+            prev_pose=last.pose,
+            spec_cache=spec[1] if spec_ok else None)
         self.depth_l1_rec.append(depth_l1)
         mark("tracking")
 
@@ -434,6 +510,7 @@ class Frontend:
             cur.start_optimizer(_host_w2c(last), s.lcfg.enable_exposure)
             cur._w2c_host = _host_w2c(last)
             self.vel = np.eye(4, dtype=np.float32)
+            self._spec = None  # speculated from the now-discarded pose
             print("Tracking failed, reset localmap!!!")
         else:
             # velocity update on the host: both poses are host mirrors
@@ -450,7 +527,7 @@ class Frontend:
                     - hw
                 n_low_val = float(n_low) - pad
             else:
-                w2c = jax.lax.stop_gradient(cur.get_w2c)
+                w2c = jax.lax.stop_gradient(_frame_w2c(cur))
                 out = render_view(self.map, s.cam.replace_w2c(w2c), s.opts)
                 alpha = out[:, 4]
                 # padded pixels never accumulate alpha; subtract them

@@ -51,7 +51,9 @@ def _coarse_tile_ids(grid, stride: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("opts", "tcfg", "lcfg", "want_view")
+    jax.jit,
+    static_argnames=("opts", "tcfg", "lcfg", "want_view", "predict",
+                     "use_vel"),
 )
 def tracking_loop(
     cache: PairCache,
@@ -62,6 +64,9 @@ def tracking_loop(
     tcfg: TrackConfig,
     lcfg: LossConfig,
     want_view: bool = False,
+    prev_pose: PoseState | None = None,
+    predict: bool = False,
+    use_vel: bool = True,
 ):
     """Full tracking optimization for one frame as one XLA program.
 
@@ -70,7 +75,18 @@ def tracking_loop(
     low-alpha pixel count — this folds the keyframe-coverage test
     (Frontend.py:186-192 Renderer_view + alpha threshold) into the same
     program, removing one dispatch + one host sync per frame. The cache
-    staleness is the same assumption tracking itself already makes."""
+    staleness is the same assumption tracking itself already makes.
+
+    ``predict=True`` additionally emits the velocity-model pose init for
+    the NEXT frame (Frontend.py:160-164: vel @ w2c with vel = w2c @
+    prev_w2c^-1, identity when ``use_vel`` is off) — pred_pose is a
+    fresh optimizer state at that pose and pred_w2c its (quaternion
+    round-tripped, i.e. exactly pred_pose.w2c) matrix. The frontend
+    dispatches the next frame's tracking binning against pred_w2c
+    BEFORE this program's blocking readback, so the ~60-70 ms binning
+    runs while the host does its per-frame python (speculation is
+    value-identical to the host pose init it replaces; it is discarded
+    whenever the map changes under it)."""
 
     def make_grad_fn(tile_ids, gt_sub):
         def loss_fn(quat, trans):
@@ -120,6 +136,19 @@ def tracking_loop(
            # for velocity math, and an eager pose.w2c costs ~10 small
            # dispatches through the tunnel
            "w2c": pose.w2c}
+    if predict:
+        from ..ops.se3 import invert_se3, pose_params_from_matrix
+
+        w2c_f = aux["w2c"]
+        pred_m = (w2c_f @ invert_se3(prev_pose.w2c) @ w2c_f
+                  if use_vel else w2c_f)
+        q, t = pose_params_from_matrix(pred_m)
+        z4, z3 = jnp.zeros(4), jnp.zeros(3)
+        aux["pred_pose"] = PoseState(q, t, z4, z4, z3, z3, jnp.int32(0))
+        # quaternion round-trip so the speculative binning pose equals
+        # pred_pose.w2c bit-for-bit (matching the non-speculative path,
+        # which bins at init_pose(initial_w2c).w2c)
+        aux["pred_w2c"] = aux["pred_pose"].w2c
     if want_view:
         out = render_tracking(
             cache, lax.stop_gradient(pose.quat),
