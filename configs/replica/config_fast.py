@@ -26,7 +26,7 @@ h = 340 * 2
 w = 600 * 2
 trans_lr_base = 0.002
 rot_lr_base = 0.0004
-num_tracking_iter = 30
+num_tracking_iter = 40
 num_ba_iters = 40
 localmap_max_frames = 80
 num_mapping_iters = 30

@@ -24,10 +24,10 @@ wo_final_refinement = exp == 8   # H
 name = "ScanNet"
 h = 480
 w = 640
-trans_lr_base = 0.002
-rot_lr_base = 0.0004
+trans_lr_base = 0.004
+rot_lr_base = 0.001
 num_tracking_iter = 100
-num_ba_iters = 60
+num_ba_iters = 80
 localmap_max_frames = 40
 
 config = dict(
@@ -53,17 +53,17 @@ config = dict(
         coarse_stride=2,
         num_mapping_iters=localmap_max_frames,
         converged_th=-1,
-        tau_k=0.01 if not wo_keyframe else -1,
+        tau_k=0.05 if not wo_keyframe else -1,
         tau_l=h * w * 1.5,
         max_frames=localmap_max_frames,
         vel_pose_init=True,
-        enable_retracking=True,
+        enable_retracking=False,
         additional_densify=False,
     ),
     backend=dict(
         num_ba_iters=num_ba_iters,
         num_frame_saved=localmap_max_frames // 4,
-        num_covis_submaps=20,
+        num_covis_submaps=30,
         sleep_time=0.1,
         mesh_vis=False,
         render_vis=False,
@@ -133,10 +133,10 @@ config = dict(
             exposure_lr_max_step=100,
         ),
         backend_lr=dict(
-            cam_rot_lr_init=rot_lr_base / 4,
+            cam_rot_lr_init=rot_lr_base / 2,
             cam_rot_lr_final=rot_lr_base / 10,
             cam_rot_lr_max_step=2 * num_ba_iters,
-            cam_trans_lr_init=trans_lr_base / 4,
+            cam_trans_lr_init=trans_lr_base / 2,
             cam_trans_lr_final=trans_lr_base / 10,
             cam_trans_lr_max_step=2 * num_ba_iters,
             exposure_lr_init=0.0001,

@@ -1,13 +1,18 @@
-"""Replica experiment profile (parity with the reference
-configs/replica/config.py — same sections, knobs, and values; ablation
+"""ScanNet++ experiment profile (parity with the reference
+configs/scannetpp/config.py — same sections, knobs, and values; ablation
 switches A-H via the EXP env var, scene via SCENE_NUM, seed via SEED).
 """
 import os
 
-scenes = ["b20a261fdf", "8b5caf3398", "fb05e13ad1", "2e74812d00"]
+scenes = ["b20a261fdf", "8b5caf3398", "fb05e13ad1", "2e74812d00",
+          "281bc17764"]
+# per-scene frame budgets (reference configs/scannetpp/config.py:12-13)
+scene_num_frames = [-1, -1, 250, 250, 250]
 
 seed = int(os.environ.get("SEED", 0))
-scene_name = scenes[int(os.environ.get("SCENE_NUM", 0))]
+scene_idx = int(os.environ.get("SCENE_NUM", 0))
+scene_name = scenes[scene_idx]
+num_frames = scene_num_frames[scene_idx]
 exp = int(os.environ.get("EXP", 0))
 
 # ablation switches (README.md:163-168 of the reference)
@@ -23,10 +28,11 @@ wo_final_refinement = exp == 8   # H
 name = "ScanNetPP"
 h = 584
 w = 876
-trans_lr_base = 0.002
-rot_lr_base = 0.0004
-num_tracking_iter = 100
-num_ba_iters = 60
+trans_lr_base = 0.04
+rot_lr_base = 0.01
+num_tracking_iter = 150
+num_mapping_iters = 60
+num_ba_iters = 120
 localmap_max_frames = 20
 
 config = dict(
@@ -50,10 +56,10 @@ config = dict(
         # the synthetic A/B — best ATE of all variants; PERF.md)
         coarse_iters=int(num_tracking_iter * 0.6),
         coarse_stride=2,
-        num_mapping_iters=localmap_max_frames,
+        num_mapping_iters=num_mapping_iters,
         converged_th=-1,
         tau_k=0.01 if not wo_keyframe else -1,
-        tau_l=h * w * 1.5,
+        tau_l=h * w * 2.5,
         max_frames=localmap_max_frames,
         vel_pose_init=True,
         enable_retracking=True,
@@ -61,7 +67,7 @@ config = dict(
     ),
     backend=dict(
         num_ba_iters=num_ba_iters,
-        num_frame_saved=localmap_max_frames // 4,
+        num_frame_saved=15,
         num_covis_submaps=20,
         sleep_time=0.1,
         mesh_vis=False,
@@ -99,12 +105,14 @@ config = dict(
         basedir="./data/ScanNetPP",
         gradslam_data_cfg="./configs/data/scannetpp.yaml",
         sequence=scene_name,
+        ignore_bad=False,
+        use_train_split=True,
         desired_image_height=h,
         desired_image_width=w,
         start=0,
-        end=-1,
+        end=num_frames,
         stride=1,
-        num_frames=-1,
+        num_frames=num_frames,
     ),
     gaussians=dict(
         gaussian_distribution="anisotropic" if not wo_unbiased_depth
@@ -128,18 +136,18 @@ config = dict(
             cam_trans_lr_final=trans_lr_base / 10,
             cam_trans_lr_max_step=num_tracking_iter,
             exposure_lr_init=0.0001,
-            exposure_lr_final=0.00001,
+            exposure_lr_final=0.0001,
             exposure_lr_max_step=100,
         ),
         backend_lr=dict(
-            cam_rot_lr_init=rot_lr_base / 4,
-            cam_rot_lr_final=rot_lr_base / 10,
+            cam_rot_lr_init=rot_lr_base / 20,
+            cam_rot_lr_final=0,
             cam_rot_lr_max_step=2 * num_ba_iters,
-            cam_trans_lr_init=trans_lr_base / 4,
-            cam_trans_lr_final=trans_lr_base / 10,
+            cam_trans_lr_init=trans_lr_base / 20,
+            cam_trans_lr_final=0,
             cam_trans_lr_max_step=2 * num_ba_iters,
             exposure_lr_init=0.0001,
-            exposure_lr_final=0.00001,
+            exposure_lr_final=0.0001,
             exposure_lr_max_step=100,
         ),
     ),
@@ -148,8 +156,8 @@ config = dict(
         max_tiles_per_gaussian=4,
         capacity_quantum=1 << 17,
     ),
-    viz=dict(viz_w=600, viz_h=340, view_scale=2, mesh_every=5,
-             gen_animation=False, video_freq=30),
+    viz=dict(viz_w=600, viz_h=340, view_scale=2, mesh_every=2,
+             gen_animation=False, video_freq=15),
     eval=dict(save_renders=False, eval_mesh=False, save_mesh=False,
               mesh_interval=5, voxel_size=0.01),
 )

@@ -1,15 +1,17 @@
-"""Replica experiment profile (parity with the reference
-configs/replica/config.py — same sections, knobs, and values; ablation
+"""TUM experiment profile (parity with the reference
+configs/tum/config.py — same sections, knobs, and values; ablation
 switches A-H via the EXP env var, scene via SCENE_NUM, seed via SEED).
 """
 import os
 
-scenes = ["rgbd_dataset_freiburg1_desk", "rgbd_dataset_freiburg1_desk2",
-          "rgbd_dataset_freiburg1_room", "rgbd_dataset_freiburg2_xyz",
-          "rgbd_dataset_freiburg3_long_office_household"]
+# per-sequence camera yaml like the reference (:3-6,106-107): fr1/fr2/
+# fr3 have different intrinsics, so the profile must follow SCENE_NUM
+scenes = ["freiburg1_desk", "freiburg1_desk2", "freiburg1_room",
+          "freiburg2_xyz", "freiburg3_long_office_household"]
 
 seed = int(os.environ.get("SEED", 0))
-scene_name = scenes[int(os.environ.get("SCENE_NUM", 0))]
+scene = scenes[int(os.environ.get("SCENE_NUM", 0))]
+scene_name = f"rgbd_dataset_{scene}"
 exp = int(os.environ.get("EXP", 0))
 
 # ablation switches (README.md:163-168 of the reference)
@@ -22,14 +24,14 @@ wo_localmap = exp == 6           # F
 wo_random_optimization = exp == 7  # G
 wo_final_refinement = exp == 8   # H
 
-name = "TUM"
+name = "TUM_RGBD"
 h = 480
 w = 640
-trans_lr_base = 0.002
-rot_lr_base = 0.0004
-num_tracking_iter = 60
-num_ba_iters = 60
-localmap_max_frames = 30
+trans_lr_base = 0.004
+rot_lr_base = 0.001
+num_tracking_iter = 120
+num_ba_iters = 120
+localmap_max_frames = 40
 
 config = dict(
     vis_base_dir=f"output/{name}_exp{exp}_seed{seed}/{scene_name}",
@@ -58,13 +60,13 @@ config = dict(
         tau_l=h * w * 1.5,
         max_frames=localmap_max_frames,
         vel_pose_init=True,
-        enable_retracking=True,
+        enable_retracking=False,
         additional_densify=False,
     ),
     backend=dict(
         num_ba_iters=num_ba_iters,
         num_frame_saved=localmap_max_frames // 4,
-        num_covis_submaps=20,
+        num_covis_submaps=30,
         sleep_time=0.1,
         mesh_vis=False,
         render_vis=False,
@@ -99,7 +101,7 @@ config = dict(
     data=dict(
         dataset_name="tum",
         basedir="./data/TUM_RGBD",
-        gradslam_data_cfg="./configs/data/tum.yaml",
+        gradslam_data_cfg=f"./configs/data/TUM/{scene}.yaml",
         sequence=scene_name,
         desired_image_height=h,
         desired_image_width=w,
@@ -134,10 +136,10 @@ config = dict(
             exposure_lr_max_step=100,
         ),
         backend_lr=dict(
-            cam_rot_lr_init=rot_lr_base / 4,
+            cam_rot_lr_init=rot_lr_base / 2,
             cam_rot_lr_final=rot_lr_base / 10,
             cam_rot_lr_max_step=2 * num_ba_iters,
-            cam_trans_lr_init=trans_lr_base / 4,
+            cam_trans_lr_init=trans_lr_base / 2,
             cam_trans_lr_final=trans_lr_base / 10,
             cam_trans_lr_max_step=2 * num_ba_iters,
             exposure_lr_init=0.0001,
