@@ -50,6 +50,16 @@ VARIANTS = {
     "submap20": {"SYN_MAX_FRAMES": "20"},
     # the reference Replica profile's own submap length
     "submap40": {"SYN_MAX_FRAMES": "40"},
+    # reference shape, faithfully COUPLED: the reference ties
+    # num_mapping_iters to localmap_max_frames (configs/replica/
+    # config.py:27,52-55), so longer submaps must also raise the
+    # per-keyframe mapping budget — submap40 alone halves relative
+    # mapping effort and loses ~3 dB PSNR
+    "refshape": {"SYN_MAX_FRAMES": "40", "SYN_MAP_ITERS": "40"},
+    # reference shape with the BA budget scaled too (reference BA 60
+    # on Replica vs the synthetic default 20)
+    "refshape_ba": {"SYN_MAX_FRAMES": "40", "SYN_MAP_ITERS": "40",
+                    "SYN_BA_ITERS": "40"},
     # the reference config_fast's keyframe threshold (tau_k 0.15 vs the
     # full profile's 0.01; fewer keyframes = far less mapping work)
     "tauk15": {"SYN_TAU_K": "0.15"},
