@@ -42,6 +42,31 @@ def _sync(x):
     return x
 
 
+@jax.jit
+def _dequant_rgbd(color_u8, depth_u16):
+    """On-device dequant of a natively-quantized RGB-D frame. Drivers
+    ship frames over the host tunnel in camera dtypes (uint8 color,
+    uint16 depth at Replica's 6553.5 counts/m — utils/stage.py), ~3.6x
+    fewer tunnel bytes than float32; this one fused VPU multiply pays
+    it back."""
+    from ..utils.stage import DEPTH_U16_SCALE
+
+    return (color_u8.astype(jnp.float32) * jnp.float32(1 / 255),
+            depth_u16.astype(jnp.float32) * jnp.float32(1 / DEPTH_U16_SCALE))
+
+
+@jax.jit
+def _dequant_u8(color_u8):
+    return color_u8.astype(jnp.float32) * jnp.float32(1 / 255)
+
+
+@jax.jit
+def _dequant_u16(depth_u16):
+    from ..utils.stage import DEPTH_U16_SCALE
+
+    return depth_u16.astype(jnp.float32) * jnp.float32(1 / DEPTH_U16_SCALE)
+
+
 def _host_w2c(frame) -> np.ndarray:
     """Host mirror of a frame's current pose. Tracked frames carry
     ``_w2c_host`` from the fused tracking readback; anything else falls
@@ -426,9 +451,18 @@ class Frontend:
     def process_frame(self, time_idx, gt_color, gt_depth, gt_pose):
         """Main frontend pipeline (Frontend.process_frame, :142-222).
 
-        gt_color: [H, W, 3] float 0..1; gt_depth: [H, W] meters;
-        gt_pose: c2w [4, 4].
+        gt_color: [H, W, 3] float 0..1 OR uint8 0..255; gt_depth:
+        [H, W] float meters OR uint16 at stage.DEPTH_U16_SCALE counts/m
+        (native camera dtypes — see utils/stage.py); gt_pose: c2w [4, 4].
         """
+        gt_color = jnp.asarray(gt_color)
+        gt_depth = jnp.asarray(gt_depth)
+        if gt_color.dtype == jnp.uint8 and gt_depth.dtype == jnp.uint16:
+            gt_color, gt_depth = _dequant_rgbd(gt_color, gt_depth)
+        elif gt_color.dtype == jnp.uint8:
+            gt_color = _dequant_u8(gt_color)
+        elif gt_depth.dtype == jnp.uint16:
+            gt_depth = _dequant_u16(gt_depth)
         s = self.sys
         prof = os.environ.get("GAUS_PROFILE")
         _marks = []

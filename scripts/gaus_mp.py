@@ -32,8 +32,12 @@ def datafeeder(dataset, num_frames, data_flow: queue.Queue,
     Frames are staged onto the device here (``jax.device_put`` returns
     immediately; the H2D DMA rides behind the frontend's in-flight
     compute) — the analogue of the reference's pinned-memory CUDA-tensor
-    queue."""
+    queue. Transfer rides native camera dtypes (uint8 color / uint16
+    depth, utils/stage.py) — ~3.6x fewer bytes through the host tunnel;
+    the frontend dequantizes on-device."""
     import jax
+
+    from gaus_slam_tpu.utils.stage import pack_frame
 
     for t in range(start_frame, num_frames):
         if stop_event.is_set():
@@ -44,10 +48,11 @@ def datafeeder(dataset, num_frames, data_flow: queue.Queue,
         depth = np.asarray(depth)
         if depth.ndim == 3:
             depth = depth[..., 0]
+        color8, depth_t = pack_frame(color, depth)
         data_flow.put((
             t,
-            jax.device_put(np.asarray(color, np.float32) / np.float32(255)),
-            jax.device_put(depth),
+            jax.device_put(color8),
+            jax.device_put(depth_t),
             c2w,
         ))
     data_flow.put("finish")
