@@ -152,6 +152,10 @@ config = dict(
         # rebin=4 20.38 — run noise is ~±0.9 dB, so 2 is quality-neutral
         # and ~10% faster; only 4 shows a clear staleness cost.
         mapping_rebin_every=int(os.environ.get("REBIN_EVERY", 2)),
+        # coarse mapping: each fused mapping iteration renders a rotating
+        # checkerboard of 1/stride^2 of the tiles (full coverage every
+        # stride^2 iters); 1 = exact reference schedule. A/B row "cmap2".
+        coarse_map_stride=int(os.environ.get("COARSE_MAP_STRIDE", 1)),
         # keyframe-coverage view fused into the tracking program (same
         # staleness assumption as tracking's pair cache); 0 = fresh
         # full-binned render_view per keyframe test (reference-exact)

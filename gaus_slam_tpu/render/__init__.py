@@ -173,6 +173,7 @@ def render_full(
     opts: RenderOptions,
     bins: B.Binning | None = None,
     need_normal: bool = True,
+    tile_ids: jnp.ndarray | None = None,
 ):
     """Differentiable full-map render (mapping/BA/view paths).
 
@@ -181,6 +182,11 @@ def render_full(
     ``need_normal=False`` skips the normal accumulation and its vjp
     shadow in the kernels (mapping/BA losses only read normals under
     use_normal_loss — reference slam/Loss.py:51-58).
+    ``tile_ids`` renders only that subset of image tiles (coarse mapping:
+    the loss is per-pixel, so a tile subset is an unbiased stochastic
+    gradient — see steps.mapping_loop coarse_stride); the output is
+    [len(tile_ids), OUT_C, P]. Pairs of unrendered tiles contribute zero
+    parameter gradients through the pair-expansion vjp.
     """
     attrs, summary = _prep_attrs(params, active, cam, opts)
     if bins is None:
@@ -192,7 +198,11 @@ def render_full(
     attrs_t = attrs.T                                # [N, ATTR_C]
     pattrs = expand_pairs(attrs_t, bins, opts.max_tiles_per_gaussian,
                           opts.backend)
-    out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, None,
+    if tile_ids is None:
+        start, stop = bins.tile_start, bins.tile_stop
+    else:
+        start, stop = bins.tile_start[tile_ids], bins.tile_stop[tile_ids]
+    out = render_pairs(pattrs, start, stop, tile_ids,
                        opts.settings(need_normal=need_normal))
     return _method_mask(out, opts), bins
 

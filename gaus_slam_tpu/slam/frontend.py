@@ -131,6 +131,13 @@ class Frontend:
         # every iteration, exact reference parity)
         self.rebin_every = int(config.get("tpu", {}).get(
             "mapping_rebin_every", 1))
+        # coarse mapping: each fused mapping iteration renders a rotating
+        # checkerboard of 1/stride^2 of the image tiles (unbiased
+        # stochastic gradient of the per-pixel loss; full coverage every
+        # stride^2 iterations). 1 = exact reference schedule. Quality-
+        # gated by the multi-seed A/B (PERF.md).
+        self.coarse_map_stride = int(config.get("tpu", {}).get(
+            "coarse_map_stride", 1))
         self.num_frame_saved = int(config["backend"]["num_frame_saved"])
         self.capacity_quantum = int(config.get("tpu", {}).get(
             "capacity_quantum", 1 << 16))
@@ -360,7 +367,8 @@ class Frontend:
             gts = jnp.stack([self._tile_gt(f) for f in sel])
             gm, aux = mapping_loop(self.map, w2cs, gts, s.cam, s.opts,
                                    s.mcfg, s.lcfg,
-                                   rebin_every=self.rebin_every)
+                                   rebin_every=self.rebin_every,
+                                   coarse_stride=self.coarse_map_stride)
             self.map = gm
             for f in sel:
                 f.mapping_times += self.rebin_every

@@ -193,6 +193,7 @@ def mapping_step(
     mcfg: MapConfig,
     lcfg: LossConfig,
     bins=None,
+    tile_ids: jnp.ndarray | None = None,
 ):
     """One mapping iteration: render at a fixed pose, map params live
     (Frontend.mapping / Backend.mapping semantics).
@@ -201,12 +202,18 @@ def mapping_step(
     callers running several consecutive iterations on one frame reuse it
     (per-iteration parameter motion is sub-pixel, the same staleness
     argument as the tracking pair cache); None re-bins exactly like the
-    reference."""
+    reference.
+
+    ``tile_ids``: render + apply the loss on only this subset of image
+    tiles (coarse mapping — the masked-mean per-pixel loss over a tile
+    subset is an unbiased stochastic gradient; callers rotate the subset
+    per iteration so coverage is complete every stride^2 iterations)."""
     from ..render import bin_full
 
     cam = cam_proj.replace_w2c(lax.stop_gradient(w2c))
     if bins is None:
         bins = bin_full(gm.params, gm.active, cam, opts)
+    gt_sub = gt_tiled if tile_ids is None else gt_tiled[tile_ids]
 
     def loss_fn(params, gain, bias):
         exp = exposure._replace(gain=gain, bias=bias) \
@@ -214,8 +221,9 @@ def mapping_step(
         # mapping loss reads normals only under use_normal_loss
         # (opts.normals_in_tracking carries that flag)
         out, _ = render_full(params, gm.active, cam, opts, bins=bins,
-                             need_normal=opts.normals_in_tracking)
-        loss, aux = mapping_loss(out, gt_tiled, lcfg, exposure=exp)
+                             need_normal=opts.normals_in_tracking,
+                             tile_ids=tile_ids)
+        loss, aux = mapping_loss(out, gt_sub, lcfg, exposure=exp)
         return loss, aux
 
     (loss, aux), grads = jax.value_and_grad(
@@ -254,8 +262,30 @@ def mapping_step(
     return gm, exposure, {"loss": loss, **aux, **diag}
 
 
+def _coarse_map_phases(grid, stride: int) -> jnp.ndarray:
+    """[stride^2, Ts] rotating checkerboard tile-id phases (static).
+
+    Every image tile appears in exactly one phase; phases smaller than
+    the largest are padded by repeating their own ids (a duplicated tile
+    renders twice and is double-counted by the masked mean — a bounded,
+    quality-A/B-gated bias on non-divisible grids)."""
+    import numpy as np
+
+    phases = []
+    for oy in range(stride):
+        for ox in range(stride):
+            ty = np.arange(oy, grid.tiles_y, stride)
+            tx = np.arange(ox, grid.tiles_x, stride)
+            ids = (ty[:, None] * grid.tiles_x + tx[None, :]).reshape(-1)
+            phases.append(ids)
+    ts = max(len(p) for p in phases)
+    out = np.stack([np.resize(p, ts) for p in phases]).astype(np.int32)
+    return jnp.asarray(out)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("opts", "mcfg", "lcfg", "rebin_every")
+    jax.jit,
+    static_argnames=("opts", "mcfg", "lcfg", "rebin_every", "coarse_stride"),
 )
 def mapping_loop(
     gm: G.GaussianMap,
@@ -266,6 +296,7 @@ def mapping_loop(
     mcfg: MapConfig,
     lcfg: LossConfig,
     rebin_every: int = 1,
+    coarse_stride: int = 1,
 ):
     """K x rebin_every mapping iterations as ONE compiled program.
 
@@ -281,28 +312,43 @@ def mapping_loop(
     the program (escalation never misses a transient overflow).
     Restrictions (callers fall back to the per-step loop): no per-frame
     exposure optimization, no mid-loop densify, no gs_densify stats.
-    """
+
+    ``coarse_stride`` > 1 renders each iteration on a rotating
+    checkerboard of 1/stride^2 of the image tiles (TPU-native stochastic
+    mapping — the per-pixel masked-mean loss makes a tile subset an
+    unbiased gradient; every tile is visited once per stride^2
+    iterations). Binning/expansion still run on the full tile grid, so
+    only the fwd/bwd kernel time shrinks. Quality-gated by the A/B
+    (PERF.md); 1 = exact reference schedule."""
     from ..render import bin_full
 
     dummy_exp = init_exposure()
+    n_phase = coarse_stride * coarse_stride
+    phases = (_coarse_map_phases(opts.grid, coarse_stride)
+              if coarse_stride > 1 else None)
 
     def group(gm_c, inp):
-        w2c, gt = inp
+        w2c, gt, g_idx = inp
         cam = cam_proj.replace_w2c(lax.stop_gradient(w2c))
         bins = bin_full(gm_c.params, gm_c.active, cam, opts)
 
-        def one_iter(gm_cc, _):
+        def one_iter(gm_cc, j):
+            ids = (None if phases is None
+                   else phases[(g_idx * rebin_every + j) % n_phase])
             gm2, _, aux = mapping_step(
                 gm_cc, w2c, gt, dummy_exp, jnp.bool_(False),
                 LrSchedule(0.0, 0.0, 1), cam_proj, opts, mcfg, lcfg,
-                bins=bins,
+                bins=bins, tile_ids=ids,
             )
             return gm2, (aux["overflow"], aux["n_shrunk"], aux["loss"])
 
-        gm_c, diags = lax.scan(one_iter, gm_c, None, length=rebin_every)
+        gm_c, diags = lax.scan(one_iter, gm_c,
+                               jnp.arange(rebin_every, dtype=jnp.int32))
         return gm_c, diags
 
-    gm, (ovs, nss, losses) = lax.scan(group, gm, (w2cs, gts))
+    k = w2cs.shape[0]
+    gm, (ovs, nss, losses) = lax.scan(
+        group, gm, (w2cs, gts, jnp.arange(k, dtype=jnp.int32)))
     return gm, {
         "overflow": jnp.any(ovs),
         "n_shrunk": jnp.max(nss),

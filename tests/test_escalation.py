@@ -233,7 +233,7 @@ def test_frontend_fused_mapping_escalates(monkeypatch):
                             jnp.eye(4, dtype=jnp.float32), fe.sys.cam)
 
     def fake_mapping_loop(gm, w2cs, gts, cam, opts, mcfg, lcfg,
-                          rebin_every=1):
+                          rebin_every=1, coarse_stride=1):
         return gm, {"overflow": jnp.bool_(True), "n_shrunk": jnp.int32(0),
                     "loss": jnp.float32(0.0)}
 

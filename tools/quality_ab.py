@@ -68,6 +68,12 @@ VARIANTS = {
     # keyframe test + densify input from a fresh render_view instead of
     # the fused tracking-cache view (reference-exact kf semantics)
     "kfview0": {"FUSED_KF_VIEW": "0"},
+    # coarse mapping: every frontend mapping iteration renders a rotating
+    # stride-2 checkerboard (1/4 of the tiles; full coverage each 4
+    # iterations) — unbiased stochastic gradient of the per-pixel loss
+    "cmap2": {"COARSE_MAP_STRIDE": "2"},
+    # coarse mapping at 1/9 of the tiles per iteration
+    "cmap3": {"COARSE_MAP_STRIDE": "3"},
 }
 
 
