@@ -74,6 +74,12 @@ VARIANTS = {
     "cmap2": {"COARSE_MAP_STRIDE": "2"},
     # coarse mapping at 1/9 of the tiles per iteration
     "cmap3": {"COARSE_MAP_STRIDE": "3"},
+    # sparser coarse TRACKING phase at the default depth (18 of 30
+    # iters): coarse24s3 coupled depth+stride and lost 0.51 dB; this
+    # isolates the stride
+    "cs3": {"COARSE_STRIDE": "3"},
+    # combined candidate defaults: coarse mapping + sparser tracking
+    "cmap3cs3": {"COARSE_MAP_STRIDE": "3", "COARSE_STRIDE": "3"},
 }
 
 
