@@ -160,6 +160,11 @@ config = dict(
         # 38.45+-1.02 / 0.0061 — both within the 0.3 dB budget (better
         # than default on the seed means); 3 shipped here.
         coarse_map_stride=int(os.environ.get("COARSE_MAP_STRIDE", 3)),
+        # same rotating-checkerboard schedule for the backend's fused
+        # 4-task mapping batches (global-map refinement); gated by its
+        # own A/B row ("cmapb3") — 1 = dense reference-exact batches
+        backend_coarse_map_stride=int(
+            os.environ.get("BACKEND_COARSE_MAP_STRIDE", 1)),
         # keyframe-coverage view fused into the tracking program (same
         # staleness assumption as tracking's pair cache); 0 = fresh
         # full-binned render_view per keyframe test (reference-exact)

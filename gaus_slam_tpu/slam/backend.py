@@ -90,6 +90,16 @@ class Backend:
         # submap (each flip re-traces every backend program)
         self.capacity_floor = int(config.get("tpu", {}).get(
             "backend_capacity", 0))
+        # coarse mapping for the fused mapping batches (rotating
+        # checkerboard tile subsets — see steps.mapping_loop). Separate
+        # knob from the frontend's: the backend refines against the
+        # GLOBAL map, so its quality cost is gated by its own A/B row
+        # (tools/quality_ab.py "cmapb3"). 1 = dense (reference-exact).
+        self.coarse_map_stride = int(config.get("tpu", {}).get(
+            "backend_coarse_map_stride", 1))
+        # running phase offset: 4-task batches are shorter than the
+        # stride^2 phase rotation, so coverage must carry across batches
+        self._map_phase = 0
 
         self.map: G.GaussianMap | None = None
         # host mirror of map.n_active: merges add donor counts to it and
@@ -235,7 +245,11 @@ class Backend:
             return {}
         gm, aux = mapping_loop(self.map, jnp.stack(w2cs), jnp.stack(gts),
                                s.cam, s.opts, s.mcfg, s.lcfg,
-                               rebin_every=1)
+                               rebin_every=1,
+                               coarse_stride=self.coarse_map_stride,
+                               phase0=self._map_phase)
+        self._map_phase = (self._map_phase + len(w2cs)) % max(
+            self.coarse_map_stride * self.coarse_map_stride, 1)
         self.map = gm
         for lm in touched:
             lm.mapping_times += 1

@@ -297,6 +297,7 @@ def mapping_loop(
     lcfg: LossConfig,
     rebin_every: int = 1,
     coarse_stride: int = 1,
+    phase0=0,
 ):
     """K x rebin_every mapping iterations as ONE compiled program.
 
@@ -319,7 +320,12 @@ def mapping_loop(
     unbiased gradient; every tile is visited once per stride^2
     iterations). Binning/expansion still run on the full tile grid, so
     only the fwd/bwd kernel time shrinks. Quality-gated by the A/B
-    (PERF.md); 1 = exact reference schedule."""
+    (PERF.md); 1 = exact reference schedule.
+
+    ``phase0`` (traced int32 scalar, default 0) offsets the phase
+    rotation — callers whose loops are SHORTER than stride^2 iterations
+    (e.g. the backend's 4-task batches at stride 3 = 9 phases) must pass
+    a running counter or the later phases' tiles are never rendered."""
     from ..render import bin_full
 
     dummy_exp = init_exposure()
@@ -334,7 +340,8 @@ def mapping_loop(
 
         def one_iter(gm_cc, j):
             ids = (None if phases is None
-                   else phases[(g_idx * rebin_every + j) % n_phase])
+                   else phases[(phase0 + g_idx * rebin_every + j)
+                               % n_phase])
             gm2, _, aux = mapping_step(
                 gm_cc, w2c, gt, dummy_exp, jnp.bool_(False),
                 LrSchedule(0.0, 0.0, 1), cam_proj, opts, mcfg, lcfg,

@@ -268,3 +268,33 @@ def test_coarse_mapping_loop_converges(scene):
     assert np.isfinite(float(aux["loss"]))
     assert lc < l0, (l0, lc)
     assert (l0 - lc) > 0.35 * (l0 - lf), (l0, lf, lc)
+
+
+def test_coarse_mapping_phase0_offset(scene):
+    """mapping_loop(K=1, rebin=1, phase0=p) must render phase p's tile
+    subset — bit-identical to mapping_step(tile_ids=phases[p]). Callers
+    with loops shorter than stride^2 (backend 4-task batches) carry
+    phase0 across dispatches; this pins the offset semantics."""
+    from gaus_slam_tpu.slam.steps import (_coarse_map_phases, mapping_loop,
+                                          mapping_step)
+
+    ds, cam, grid, opts, lcfg, frames = scene
+    color0, depth0, w2c0 = frames[0]
+    gt = gt_tiles(color0, depth0, grid)
+    mcfg = MapConfig(lrs=(
+        ("xyz_lr", 1e-4), ("scaling_lr", 1e-3), ("rotation_lr", 1e-3),
+        ("opacity_lr", 5e-2), ("rgb_lr", 2.5e-3),
+    ))
+    gm0 = initialize_map(CAP, color0, depth0, w2c0, cam)
+    phases = _coarse_map_phases(grid, 2)
+    for p in (1, 3):
+        gm_l, _ = mapping_loop(gm0, w2c0[None], gt[None], cam, opts,
+                               mcfg, lcfg, rebin_every=1, coarse_stride=2,
+                               phase0=p)
+        gm_s, _, _ = mapping_step(
+            gm0, w2c0, gt, init_exposure(), jnp.bool_(False),
+            LrSchedule(0.0, 0.0, 1), cam, opts, mcfg, lcfg,
+            tile_ids=phases[p])
+        for a, b in zip(jax.tree.leaves(gm_l.params),
+                        jax.tree.leaves(gm_s.params)):
+            assert float(jnp.abs(a - b).max()) == 0.0

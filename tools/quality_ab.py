@@ -80,6 +80,9 @@ VARIANTS = {
     "cs3": {"COARSE_STRIDE": "3"},
     # combined candidate defaults: coarse mapping + sparser tracking
     "cmap3cs3": {"COARSE_MAP_STRIDE": "3", "COARSE_STRIDE": "3"},
+    # coarse mapping in the BACKEND's fused batches too (global-map
+    # refinement at 1/9 tiles per task, phase carried across batches)
+    "cmapb3": {"BACKEND_COARSE_MAP_STRIDE": "3"},
 }
 
 
