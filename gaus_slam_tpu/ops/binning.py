@@ -69,6 +69,16 @@ class Binning(NamedTuple):
     # would initialize the (single-tenant) device client at import time.
     red_keys: jnp.ndarray = np.zeros((0,), np.int32)   # [R] sorted keys
     red_perm: jnp.ndarray = np.zeros((0,), np.int32)   # [R] sort perm
+    # Phase-major extras (``phase_stride`` > 0 binnings only). The pair
+    # array is globally ordered by (checkerboard phase, tile, depth), so
+    # each coarse-mapping phase's pairs are one contiguous block —
+    # per-phase expansion/reduction become dynamic slices instead of
+    # full-R work. With phase_stride set, red_keys/red_perm sort by
+    # (phase, gaussian): the plain dense ``_run_reduce`` MUST NOT be
+    # used (a gaussian's pairs are then segmented per phase).
+    phase_start: jnp.ndarray = np.zeros((0,), np.int32)  # [s^2+1] bounds
+    slab_phase: jnp.ndarray = np.zeros((0,), np.int32)   # [d_max, N] phase
+                                                         # (s^2 = dead slot)
 
     def slab_scatter_grads(self, pair_grads: jnp.ndarray, n: int,
                            d_max: int | None = None,
@@ -104,6 +114,67 @@ class Binning(NamedTuple):
             lambda g: self._run_reduce(g, n, d_max, backend),
             pair_grads,
         )
+
+    def phase_reduce(self, d_pairs_sub: jnp.ndarray, phase, n: int,
+                     d_max: int, backend: str | None = None) -> jnp.ndarray:
+        """Per-gaussian reduce of ONE coarse phase's compact pair grads.
+
+        ``d_pairs_sub`` is [r_phase, C]: gradients for the pairs in this
+        phase's contiguous block (phase-major binning), locally indexed
+        from ``phase_start[phase]``. Requires ``phase_stride`` binning
+        (red_keys sorted by (phase, gaussian)). Work is O(r_phase) =
+        O(r_max / s^2) instead of the dense path's O(r_max); the landing
+        gather stays [n] rows. Exact when no pair was truncated (global
+        overflow) and the phase block fits r_phase; both conditions zero
+        the output here and are reported by the caller's diagnostics, so
+        the escalation ladder re-sizes exactly like the dense path.
+        """
+        r_phase, c = d_pairs_sub.shape
+        sentinel = jnp.int32(0x7FFFFFFF)
+        p0 = self.phase_start[phase]
+        p1 = self.phase_start[phase + 1]
+        # d_pairs_sub is indexed from the 128-ALIGNED floor of p0 (the
+        # kernel slice preserves chunk alignment — see _phase_rows)
+        p0_al = (p0 // 128) * 128
+        # pad so the dynamic slice never clamps (last phase + slack)
+        keys_pad = jnp.concatenate(
+            [self.red_keys, jnp.full((r_phase,), sentinel)])
+        perm_pad = jnp.concatenate(
+            [self.red_perm, jnp.zeros((r_phase,), jnp.int32)])
+        keys_blk = lax.dynamic_slice(keys_pad, (p0,), (r_phase,))
+        perm_blk = lax.dynamic_slice(perm_pad, (p0,), (r_phase,))
+        valid = (jnp.arange(r_phase, dtype=jnp.int32) < (p1 - p0))
+        loc = jnp.clip(perm_blk - p0_al, 0, r_phase - 1)
+        grads_sorted = jnp.where(valid[:, None], d_pairs_sub[loc], 0.0)
+        keys_blk = jnp.where(valid, keys_blk, sentinel)
+        # segmented inclusive scan, runs <= d_max (see _run_reduce)
+        acc = grads_sorted
+        s = 1
+        while s < d_max:
+            shifted = jnp.pad(acc, ((s, 0), (0, 0)))[:r_phase]
+            kshift = jnp.pad(keys_blk, (s, 0), constant_values=-1)[:r_phase]
+            acc = acc + jnp.where(
+                (kshift == keys_blk)[:, None], shifted, 0.0
+            )
+            s *= 2
+        # per-(phase, gaussian) pair counts from the pre-sort slab grid
+        counts_p = jnp.sum(self.slab_phase == phase, axis=0)  # [N]
+        pos = jnp.clip(jnp.cumsum(counts_p) - 1, 0,
+                       r_phase - 1).astype(jnp.int32)
+        if backend in ("pallas", "interpret") and n % 128 == 0 \
+                and c % 8 == 0:
+            from .gather import monotone_row_gather
+
+            acc_t, pos_b = lax.optimization_barrier((acc.T, pos))
+            out = monotone_row_gather(
+                acc_t, pos_b, max_step=d_max,
+                interpret=(backend == "interpret"),
+            ).T
+        else:
+            out = acc[pos]
+        exact = jnp.logical_not(self.overflow) & ((p1 - p0_al) <= r_phase)
+        keep = (counts_p > 0)[:, None] & exact
+        return jnp.where(keep, out, 0.0)
 
     def _slab_reduce(self, pair_grads: jnp.ndarray, n: int,
                      d_max: int) -> jnp.ndarray:
@@ -184,12 +255,55 @@ def gaussian_rects(pre: PreprocResult, grid: TileGrid):
     return x0, y0, w, counts
 
 
+def phase_tables(grid: TileGrid, stride: int):
+    """Static phase-major tile tables for a stride-s checkerboard.
+
+    phase(tile) = (ty % s) * s + (tx % s); the phase-major RANK orders
+    tiles by (phase, row-major within phase). Returns
+    (rank_of_tile [T] np.int32, base [s^2+1] np.int64 cumulative tile
+    counts per phase) — both static numpy (they depend only on the
+    grid shape and stride, never on data)."""
+    s = stride
+    ty, tx = np.divmod(np.arange(grid.tiles_y * grid.tiles_x),
+                       grid.tiles_x)
+    oy, ox = ty % s, tx % s
+    phase = oy * s + ox
+    ny = -(-(grid.tiles_y - np.arange(s)) // s)   # tiles with ty%s == oy
+    nx = -(-(grid.tiles_x - np.arange(s)) // s)
+    sizes = (ny[:, None] * nx[None, :]).reshape(-1)
+    base = np.concatenate([[0], np.cumsum(sizes)])
+    rank = base[phase] + (ty // s) * nx[ox] + tx // s
+    return rank.astype(np.int32), base.astype(np.int64)
+
+
+def _phase_rank_expr(tile, grid: TileGrid, stride: int, base: np.ndarray):
+    """Elementwise tile-id -> (phase-major rank, phase). Pure VPU int
+    arithmetic + an s^2-way select chain for the static base table —
+    no gathers (a [D, N]-element gather from a table would cost more
+    than the whole binning)."""
+    s = stride
+    ty = tile // grid.tiles_x
+    tx = tile - ty * grid.tiles_x
+    oy, ox = ty % s, tx % s
+    phase = oy * s + ox
+    nx = [-(-(grid.tiles_x - o) // s) for o in range(s)]
+    nx_ox = jnp.zeros_like(tile)
+    b = jnp.zeros_like(tile)
+    for o in range(s):
+        nx_ox = jnp.where(ox == o, np.int32(nx[o]), nx_ox)
+    for p in range(s * s):
+        b = jnp.where(phase == p, np.int32(base[p]), b)
+    rank = b + (ty // s) * nx_ox + tx // s
+    return rank, phase
+
+
 def bin_gaussians(
     pre: PreprocResult,
     grid: TileGrid,
     r_max: int | None = None,
     max_tiles_per_gaussian: int = 16,
     reduce_perm: bool = False,
+    phase_stride: int = 0,
 ) -> Binning:
     """Gather-free slab expansion.
 
@@ -232,13 +346,27 @@ def bin_gaussians(
     tile = ty * grid.tiles_x + tx                        # [D, N]
     live = d < counts[None, :]
 
+    if phase_stride > 0:
+        # phase-major global order: sort by (checkerboard phase, tile,
+        # depth) via a static tile->rank remap — same sort, different
+        # key, so the phase-major layout is FREE at bin time. Per-tile
+        # ranges stay contiguous; only their global placement moves.
+        n_phase = phase_stride * phase_stride
+        rank_np, base_np = phase_tables(grid, phase_stride)
+        sort_tile, slab_ph = _phase_rank_expr(tile, grid, phase_stride,
+                                              base_np)
+        slab_phase = jnp.where(live, slab_ph, n_phase).astype(jnp.int32)
+    else:
+        sort_tile = tile
+        slab_phase = np.zeros((0,), np.int32)
+
     # monotone depth quantization from positive-float bit pattern
     dq = lax.bitcast_convert_type(
         jnp.maximum(pre.depth, 1e-12).astype(jnp.float32), jnp.int32
     )
     dq = lax.shift_right_logical(dq, 32 - depth_bits)
 
-    key = lax.shift_left(tile, depth_bits) | dq[None, :]
+    key = lax.shift_left(sort_tile, depth_bits) | dq[None, :]
     key = jnp.where(live, key, jnp.int32(0x7FFFFFFF)).reshape(-1)
     flat = jnp.arange(d_max * n, dtype=jnp.int32)  # slab slot d * n + g
 
@@ -270,11 +398,38 @@ def bin_gaussians(
     bounds = jnp.searchsorted(key_sorted, tile_keys, side="left").astype(
         jnp.int32
     )
+    if phase_stride > 0:
+        # bounds are rank-indexed; emit per-ORIGINAL-tile ranges (a
+        # static-index permutation gather on a [T+1] array) so every
+        # existing consumer of tile_start/stop is unchanged. Phase
+        # block boundaries fall out of the rank cumsums (base).
+        tile_start = bounds[rank_np]
+        tile_stop = bounds[rank_np + 1]
+        phase_start = bounds[base_np]
+    else:
+        tile_start = bounds[:-1]
+        tile_stop = bounds[1:]
+        phase_start = np.zeros((0,), np.int32)
     if reduce_perm:
         # pre-sort the gradient-reduction keys (fast path of
         # slab_scatter_grads): per-iteration reduces against this binning
-        # reuse the sort instead of re-sorting [R] every step
-        rkeys = jnp.where(pair_ok, pair_gauss, n)
+        # reuse the sort instead of re-sorting [R] every step. Phase-
+        # major binnings sort by (phase, gaussian) instead — each
+        # phase's block is then gaussian-sorted for the compact
+        # per-phase reduce (and the plain dense _run_reduce no longer
+        # applies to them).
+        if phase_stride > 0:
+            rank_sorted = lax.shift_right_logical(key_sorted, depth_bits)
+            pair_phase = jnp.zeros_like(rank_sorted)
+            for p in range(1, n_phase):
+                pair_phase = pair_phase + (
+                    rank_sorted >= np.int32(base_np[p])
+                ).astype(jnp.int32)
+            rkeys = jnp.where(pair_ok,
+                              pair_phase * np.int32(n + 1) + pair_gauss,
+                              np.int32(n_phase * (n + 1)))
+        else:
+            rkeys = jnp.where(pair_ok, pair_gauss, n)
         red_keys, red_perm = lax.sort(
             (rkeys, jnp.arange(r_max, dtype=jnp.int32)), num_keys=1
         )
@@ -287,11 +442,13 @@ def bin_gaussians(
         pair_slab=pair_slab,
         slab_tail=slab_tail,
         pair_ok=pair_ok,
-        tile_start=bounds[:-1],
-        tile_stop=bounds[1:],
+        tile_start=tile_start,
+        tile_stop=tile_stop,
         num_tiles_touched=d_max,
         num_pairs=jnp.minimum(total, r_max).astype(jnp.int32),
         overflow=overflow,
         n_shrunk=n_shrunk,
         counts=counts.astype(jnp.int32),
+        phase_start=phase_start,
+        slab_phase=slab_phase,
     )

@@ -92,6 +92,61 @@ def _exp_bwd(d_max, backend, res, d_pairs):
 expand_pairs.defvjp(_exp_fwd, _exp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def expand_pairs_phase(attrs_t: jnp.ndarray, bins: B.Binning, phase,
+                       r_phase: int, d_max: int, backend: str | None = None):
+    """[N, ATTR_C] attrs -> [ATTR_C, r_phase] pair block for ONE coarse
+    phase of a phase-major binning (pairs globally ordered by (phase,
+    tile, depth), so the phase's pairs are a contiguous slice). The
+    gather and the vjp's segment reduction are O(r_phase) = O(r_max/s^2)
+    instead of O(r_max) — the coarse-mapping path's expansion+reduction
+    were ~75% of its iteration cost (PERF.md round-3 microbench)."""
+    return _phase_rows(attrs_t, bins, phase, r_phase)
+
+
+def _phase_rows(attrs_t, bins, phase, r_phase):
+    # Slice from the 128-ALIGNED floor of the phase start: the
+    # compositing kernel chunks pairs in 128-lane DMA windows keyed to
+    # absolute offsets, so an unaligned rebase would regroup chunks and
+    # perturb the f32 accumulation order (ulp drift vs the dense path).
+    # Aligned rebase keeps every offset's value mod 128 — bit-exact.
+    p0_al = _phase_base(bins, phase)
+    gauss_pad = jnp.concatenate(
+        [bins.pair_gauss, jnp.zeros((r_phase,), jnp.int32)])
+    gauss_blk = jax.lax.dynamic_slice(gauss_pad, (p0_al,), (r_phase,))
+    return attrs_t[gauss_blk].T
+
+
+def _phase_base(bins, phase):
+    """128-aligned floor of the phase's first pair index."""
+    return (bins.phase_start[phase] // 128) * 128
+
+
+def _expp_fwd(attrs_t, bins, phase, r_phase, d_max, backend):
+    return (_phase_rows(attrs_t, bins, phase, r_phase),
+            (bins, phase, attrs_t.shape[0]))
+
+
+def _expp_bwd(r_phase, d_max, backend, res, d_pairs):
+    bins, phase, n = res
+    return (
+        bins.phase_reduce(d_pairs.T, phase, n, d_max, backend=backend),
+        None, None,
+    )
+
+
+expand_pairs_phase.defvjp(_expp_fwd, _expp_bwd)
+
+
+def phase_budget(opts: "RenderOptions", n: int, stride: int) -> int:
+    """Static per-phase pair budget: 2x the average phase share of
+    r_max plus one 128-lane head (the compact slice starts at the
+    ALIGNED floor of the phase boundary). A phase outgrowing it reports
+    overflow (same escalation ladder as the global budget — escalating
+    r_max scales this too)."""
+    return -(-(2 * opts.r_max(n)) // (stride * stride * 128)) * 128 + 128
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -152,17 +207,21 @@ def _method_mask(out, opts: RenderOptions):
 
 
 def bin_full(
-    params: Params, active: jnp.ndarray, cam: Camera, opts: RenderOptions
+    params: Params, active: jnp.ndarray, cam: Camera, opts: RenderOptions,
+    phase_stride: int = 0,
 ) -> B.Binning:
     """Binning pass alone (non-differentiable structure) — callers that
     need the overflow/shrink diagnostics compute this once and pass it to
-    ``render_full(bins=...)``."""
+    ``render_full(bins=...)``. ``phase_stride`` > 0 builds a PHASE-MAJOR
+    binning (pairs ordered by coarse-checkerboard phase first) enabling
+    the compact per-phase render path (``render_full(phase=...)``)."""
     _, summary = _prep_attrs(params, active, cam, opts)  # attrs DCE'd
     return B.bin_gaussians(
         jax.tree.map(lax.stop_gradient, summary), opts.grid,
         r_max=opts.r_max(params.xyz.shape[0]),
         max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
         reduce_perm=True,
+        phase_stride=phase_stride,
     )
 
 
@@ -174,6 +233,9 @@ def render_full(
     bins: B.Binning | None = None,
     need_normal: bool = True,
     tile_ids: jnp.ndarray | None = None,
+    tile_valid: jnp.ndarray | None = None,
+    phase=None,
+    coarse_stride: int = 0,
 ):
     """Differentiable full-map render (mapping/BA/view paths).
 
@@ -187,21 +249,52 @@ def render_full(
     gradient — see steps.mapping_loop coarse_stride); the output is
     [len(tile_ids), OUT_C, P]. Pairs of unrendered tiles contribute zero
     parameter gradients through the pair-expansion vjp.
+
+    ``phase``/``coarse_stride``: compact coarse path — ``bins`` must be
+    phase-major (``bin_full(phase_stride=stride)``), ``tile_ids`` must
+    be exactly phase ``phase``'s tile set, and expansion + the gradient
+    reduction then run on the phase's contiguous O(r_max/s^2) pair block
+    instead of all pairs. Bit-identical to the plain ``tile_ids`` path
+    when the binning has no overflow (phase overflow zeroes gradients
+    and reports through the same escalation diagnostics).
     """
     attrs, summary = _prep_attrs(params, active, cam, opts)
     if bins is None:
+        assert phase is None, "compact phase render needs phase-major bins"
         bins = B.bin_gaussians(
             jax.tree.map(lax.stop_gradient, summary), opts.grid,
             r_max=opts.r_max(params.xyz.shape[0]),
             max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
         )
     attrs_t = attrs.T                                # [N, ATTR_C]
+    if phase is not None:
+        assert tile_ids is not None and coarse_stride > 0
+        r_phase = phase_budget(opts, params.xyz.shape[0], coarse_stride)
+        pattrs = expand_pairs_phase(attrs_t, bins, phase, r_phase,
+                                    opts.max_tiles_per_gaussian,
+                                    opts.backend)
+        p0_al = _phase_base(bins, phase)
+        # clamp to the phase budget: under phase overflow the clipped
+        # tiles render partially (gradients are zeroed + diag reported,
+        # and escalation re-sizes) — the kernel must never DMA past the
+        # compact buffer
+        start = jnp.clip(bins.tile_start[tile_ids] - p0_al, 0, r_phase)
+        stop = jnp.clip(bins.tile_stop[tile_ids] - p0_al, 0, r_phase)
+        if tile_valid is not None:
+            # padded duplicate entries render EMPTY (see
+            # steps._coarse_map_phases) — the loss masks them out
+            stop = jnp.where(tile_valid, stop, start)
+        out = render_pairs(pattrs, start, stop, tile_ids,
+                           opts.settings(need_normal=need_normal))
+        return _method_mask(out, opts), bins
     pattrs = expand_pairs(attrs_t, bins, opts.max_tiles_per_gaussian,
                           opts.backend)
     if tile_ids is None:
         start, stop = bins.tile_start, bins.tile_stop
     else:
         start, stop = bins.tile_start[tile_ids], bins.tile_stop[tile_ids]
+        if tile_valid is not None:
+            stop = jnp.where(tile_valid, stop, start)
     out = render_pairs(pattrs, start, stop, tile_ids,
                        opts.settings(need_normal=need_normal))
     return _method_mask(out, opts), bins

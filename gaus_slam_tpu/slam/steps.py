@@ -179,7 +179,7 @@ class MapConfig(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("opts", "mcfg", "lcfg")
+    jax.jit, static_argnames=("opts", "mcfg", "lcfg", "coarse_stride")
 )
 def mapping_step(
     gm: G.GaussianMap,
@@ -194,6 +194,9 @@ def mapping_step(
     lcfg: LossConfig,
     bins=None,
     tile_ids: jnp.ndarray | None = None,
+    tile_valid: jnp.ndarray | None = None,
+    phase=None,
+    coarse_stride: int = 0,
 ):
     """One mapping iteration: render at a fixed pose, map params live
     (Frontend.mapping / Backend.mapping semantics).
@@ -207,12 +210,19 @@ def mapping_step(
     ``tile_ids``: render + apply the loss on only this subset of image
     tiles (coarse mapping — the masked-mean per-pixel loss over a tile
     subset is an unbiased stochastic gradient; callers rotate the subset
-    per iteration so coverage is complete every stride^2 iterations)."""
-    from ..render import bin_full
+    per iteration so coverage is complete every stride^2 iterations).
+
+    ``phase``/``coarse_stride``: compact coarse path over a phase-major
+    ``bins`` (see render_full) — expansion + gradient reduction run on
+    the phase's O(r_max/s^2) pair block; bit-identical to the plain
+    ``tile_ids`` path absent overflow."""
+    from ..render import bin_full, phase_budget
 
     cam = cam_proj.replace_w2c(lax.stop_gradient(w2c))
     if bins is None:
-        bins = bin_full(gm.params, gm.active, cam, opts)
+        bins = bin_full(gm.params, gm.active, cam, opts,
+                        phase_stride=coarse_stride if phase is not None
+                        else 0)
     gt_sub = gt_tiled if tile_ids is None else gt_tiled[tile_ids]
 
     def loss_fn(params, gain, bias):
@@ -222,7 +232,8 @@ def mapping_step(
         # (opts.normals_in_tracking carries that flag)
         out, _ = render_full(params, gm.active, cam, opts, bins=bins,
                              need_normal=opts.normals_in_tracking,
-                             tile_ids=tile_ids)
+                             tile_ids=tile_ids, tile_valid=tile_valid,
+                             phase=phase, coarse_stride=coarse_stride)
         loss, aux = mapping_loss(out, gt_sub, lcfg, exposure=exp)
         return loss, aux
 
@@ -231,7 +242,17 @@ def mapping_step(
     )(gm.params, exposure.gain, exposure.bias)
     g_params, g_gain, g_bias = grads
 
-    diag = {"num_pairs": bins.num_pairs, "overflow": bins.overflow,
+    overflow = bins.overflow
+    if phase is not None:
+        # a phase block outgrowing its compact budget clips pairs and
+        # zeroes gradients (Binning.phase_reduce) — same escalation
+        # ladder as the global pair budget
+        sizes = bins.phase_start[1:] - bins.phase_start[:-1]
+        # conservative by the 128-aligned slice head (see _phase_rows)
+        overflow = overflow | jnp.any(
+            sizes > phase_budget(opts, gm.params.xyz.shape[0],
+                                 coarse_stride) - 127)
+    diag = {"num_pairs": bins.num_pairs, "overflow": overflow,
             "n_shrunk": bins.n_shrunk}
     if mcfg.gs_stats:
         # view-space positional gradient stat for clone/split selection
@@ -262,25 +283,33 @@ def mapping_step(
     return gm, exposure, {"loss": loss, **aux, **diag}
 
 
-def _coarse_map_phases(grid, stride: int) -> jnp.ndarray:
-    """[stride^2, Ts] rotating checkerboard tile-id phases (static).
+def _coarse_map_phases(grid, stride: int):
+    """([stride^2, Ts] tile-id phases, [stride^2, Ts] validity) — the
+    rotating checkerboard schedule (static).
 
-    Every image tile appears in exactly one phase; phases smaller than
-    the largest are padded by repeating their own ids (a duplicated tile
-    renders twice and is double-counted by the masked mean — a bounded,
-    quality-A/B-gated bias on non-divisible grids)."""
+    Every image tile appears (valid) in exactly one phase; phases
+    smaller than the largest are padded by repeating their own ids with
+    ``valid=False``. Padded entries are rendered as EMPTY blocks (the
+    render forces stop=start for them) — the loss's rendered-depth /
+    alpha masks then exclude every padded pixel, so non-divisible grids
+    carry no double-count bias, and the backward kernel never writes
+    the same pair rows from two grid steps (duplicate full blocks make
+    the d_pattrs write order layout-dependent)."""
     import numpy as np
 
-    phases = []
+    phases, valids = [], []
     for oy in range(stride):
         for ox in range(stride):
             ty = np.arange(oy, grid.tiles_y, stride)
             tx = np.arange(ox, grid.tiles_x, stride)
             ids = (ty[:, None] * grid.tiles_x + tx[None, :]).reshape(-1)
             phases.append(ids)
+            valids.append(np.ones(len(ids), bool))
     ts = max(len(p) for p in phases)
     out = np.stack([np.resize(p, ts) for p in phases]).astype(np.int32)
-    return jnp.asarray(out)
+    val = np.stack([np.concatenate([v, np.zeros(ts - len(v), bool)])
+                    for v in valids])
+    return jnp.asarray(out), jnp.asarray(val)
 
 
 @functools.partial(
@@ -330,22 +359,27 @@ def mapping_loop(
 
     dummy_exp = init_exposure()
     n_phase = coarse_stride * coarse_stride
-    phases = (_coarse_map_phases(opts.grid, coarse_stride)
-              if coarse_stride > 1 else None)
+    phases, pvalid = (_coarse_map_phases(opts.grid, coarse_stride)
+                      if coarse_stride > 1 else (None, None))
 
     def group(gm_c, inp):
         w2c, gt, g_idx = inp
         cam = cam_proj.replace_w2c(lax.stop_gradient(w2c))
-        bins = bin_full(gm_c.params, gm_c.active, cam, opts)
+        bins = bin_full(gm_c.params, gm_c.active, cam, opts,
+                        phase_stride=(coarse_stride
+                                      if coarse_stride > 1 else 0))
 
         def one_iter(gm_cc, j):
-            ids = (None if phases is None
-                   else phases[(phase0 + g_idx * rebin_every + j)
-                               % n_phase])
+            if phases is None:
+                ids = ph = wt = None
+            else:
+                ph = (phase0 + g_idx * rebin_every + j) % n_phase
+                ids, wt = phases[ph], pvalid[ph]
             gm2, _, aux = mapping_step(
                 gm_cc, w2c, gt, dummy_exp, jnp.bool_(False),
                 LrSchedule(0.0, 0.0, 1), cam_proj, opts, mcfg, lcfg,
-                bins=bins, tile_ids=ids,
+                bins=bins, tile_ids=ids, tile_valid=wt, phase=ph,
+                coarse_stride=coarse_stride if phases is not None else 0,
             )
             return gm2, (aux["overflow"], aux["n_shrunk"], aux["loss"])
 

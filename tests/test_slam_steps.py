@@ -200,9 +200,12 @@ def test_coarse_mapping_phases_cover_grid(scene):
 
     _, _, grid, _, _, _ = scene
     for stride in (2, 3):
-        phases = np.asarray(_coarse_map_phases(grid, stride))
+        phases, valid = _coarse_map_phases(grid, stride)
+        phases, valid = np.asarray(phases), np.asarray(valid)
         assert phases.shape[0] == stride * stride
-        assert set(phases.reshape(-1).tolist()) == set(
+        # valid entries cover the grid exactly once
+        ids = phases[valid]
+        assert sorted(ids.tolist()) == list(
             range(grid.tiles_y * grid.tiles_x))
 
 
@@ -272,9 +275,11 @@ def test_coarse_mapping_loop_converges(scene):
 
 def test_coarse_mapping_phase0_offset(scene):
     """mapping_loop(K=1, rebin=1, phase0=p) must render phase p's tile
-    subset — bit-identical to mapping_step(tile_ids=phases[p]). Callers
-    with loops shorter than stride^2 (backend 4-task batches) carry
-    phase0 across dispatches; this pins the offset semantics."""
+    subset — bit-identical to a standalone compact mapping_step on the
+    same phase. Callers with loops shorter than stride^2 (backend
+    4-task batches) carry phase0 across dispatches; this pins the
+    offset semantics."""
+    from gaus_slam_tpu.render import bin_full
     from gaus_slam_tpu.slam.steps import (_coarse_map_phases, mapping_loop,
                                           mapping_step)
 
@@ -286,7 +291,18 @@ def test_coarse_mapping_phase0_offset(scene):
         ("opacity_lr", 5e-2), ("rgb_lr", 2.5e-3),
     ))
     gm0 = initialize_map(CAP, color0, depth0, w2c0, cam)
-    phases = _coarse_map_phases(grid, 2)
+    phases, pvalid = _coarse_map_phases(grid, 2)
+    bins_p = bin_full(gm0.params, gm0.active, cam.replace_w2c(w2c0), opts,
+                      phase_stride=2)
+
+    def moved(gm):
+        # set of gaussians the Adam step touched (zero-grad rows stay
+        # exactly put) — robust across differently-fused XLA programs,
+        # where ulp-level grad drift + Adam's first-step normalization
+        # make per-value bit-equality unattainable
+        d = jnp.abs(gm.params.xyz - gm0.params.xyz).sum(1)
+        return np.flatnonzero(np.asarray(d) > 0).tolist()
+
     for p in (1, 3):
         gm_l, _ = mapping_loop(gm0, w2c0[None], gt[None], cam, opts,
                                mcfg, lcfg, rebin_every=1, coarse_stride=2,
@@ -294,7 +310,161 @@ def test_coarse_mapping_phase0_offset(scene):
         gm_s, _, _ = mapping_step(
             gm0, w2c0, gt, init_exposure(), jnp.bool_(False),
             LrSchedule(0.0, 0.0, 1), cam, opts, mcfg, lcfg,
-            tile_ids=phases[p])
+            bins=bins_p, tile_ids=phases[p], tile_valid=pvalid[p],
+            phase=jnp.int32(p), coarse_stride=2)
+        gm_o, _, _ = mapping_step(
+            gm0, w2c0, gt, init_exposure(), jnp.bool_(False),
+            LrSchedule(0.0, 0.0, 1), cam, opts, mcfg, lcfg,
+            bins=bins_p, tile_ids=phases[p - 1], tile_valid=pvalid[p - 1],
+            phase=jnp.int32(p - 1), coarse_stride=2)
+        ml, ms, mo = (set(moved(g)) for g in (gm_l, gm_s, gm_o))
+        # same phase: identical up to borderline threshold flips
+        # (alpha/termination cutoffs are value-dependent, and ulp drift
+        # between programs can flip a pair in or out)
+        flips = ml ^ ms
+        assert len(flips) <= max(2, len(ml | ms) // 100), (p, flips)
+        # wrong phase: mostly different gaussians
+        assert len(ml ^ mo) > len(ml | mo) // 2, p
+        keep = np.ones(CAP, bool)
+        keep[list(flips)] = False
         for a, b in zip(jax.tree.leaves(gm_l.params),
                         jax.tree.leaves(gm_s.params)):
-            assert float(jnp.abs(a - b).max()) == 0.0
+            np.testing.assert_allclose(np.asarray(a)[keep],
+                                       np.asarray(b)[keep], atol=3e-3)
+
+
+def test_phase_major_binning_preserves_tile_ranges(scene):
+    """Phase-major binning (pairs globally reordered by checkerboard
+    phase) must keep every tile's pair list identical — same gaussians,
+    same depth order — only the block's global placement moves. Also
+    pins the phase boundaries: tiles of phase p occupy exactly
+    [phase_start[p], phase_start[p+1])."""
+    from gaus_slam_tpu.ops.preprocess import preprocess
+    from gaus_slam_tpu.render import bin_full
+    from gaus_slam_tpu.slam.steps import _coarse_map_phases
+
+    ds, cam, grid, opts, lcfg, frames = scene
+    color0, depth0, w2c0 = frames[0]
+    gm = initialize_map(CAP, color0, depth0, w2c0, cam)
+    cam_p = cam.replace_w2c(w2c0)
+    b0 = bin_full(gm.params, gm.active, cam_p, opts)
+    for stride in (2, 3):
+        bp = bin_full(gm.params, gm.active, cam_p, opts,
+                      phase_stride=stride)
+        assert not bool(bp.overflow)
+        s0, s1 = np.asarray(b0.tile_start), np.asarray(b0.tile_stop)
+        p0, p1 = np.asarray(bp.tile_start), np.asarray(bp.tile_stop)
+        g0 = np.asarray(b0.pair_gauss)
+        gp = np.asarray(bp.pair_gauss)
+        for t in range(grid.tiles_y * grid.tiles_x):
+            np.testing.assert_array_equal(
+                g0[s0[t]:s1[t]], gp[p0[t]:p1[t]], err_msg=f"tile {t}")
+        ph_start = np.asarray(bp.phase_start)
+        phases, _pv = _coarse_map_phases(grid, stride)
+        for p in range(stride * stride):
+            ids = np.unique(np.asarray(phases[p]))
+            lo, hi = ph_start[p], ph_start[p + 1]
+            assert sum(p1[t] - p0[t] for t in ids) == hi - lo
+            for t in ids:
+                assert lo <= p0[t] and p1[t] <= hi
+
+
+def test_compact_phase_grads_match_subset(scene):
+    """The compact phase path (phase-major bins, O(r_max/s^2)
+    expansion+reduction) must compute the same loss and gradients as
+    the plain tile_ids subset path on the same phase. Identical to
+    ulp-accumulation order: the kernel's 128-lane DMA windows group
+    chunks by ABSOLUTE pair offset and the phase-major repack moves
+    every tile's offset, so exact bit-equality is impossible by
+    construction (the tile-major layout was never canonical either) —
+    assert tight allclose plus the exact zero structure (gaussians
+    outside the phase get EXACT zeros in both paths)."""
+    from gaus_slam_tpu.render import bin_full, render_full
+    from gaus_slam_tpu.slam.loss import mapping_loss
+    from gaus_slam_tpu.slam.steps import _coarse_map_phases
+
+    ds, cam, grid, opts, lcfg, frames = scene
+    color0, depth0, w2c0 = frames[0]
+    gt = gt_tiles(color0, depth0, grid)
+    gm0 = initialize_map(CAP, color0, depth0, w2c0, cam)
+    cam_p = cam.replace_w2c(w2c0)
+    for stride in (2, 3):
+        phases, pvalid = _coarse_map_phases(grid, stride)
+        bins_p = bin_full(gm0.params, gm0.active, cam_p, opts,
+                          phase_stride=stride)
+        bins_d = bin_full(gm0.params, gm0.active, cam_p, opts)
+        for p in (0, stride * stride - 1):
+            ids, wt = phases[p], pvalid[p]
+
+            def loss_c(params):
+                out, _ = render_full(params, gm0.active, cam_p, opts,
+                                     bins=bins_p, tile_ids=ids,
+                                     tile_valid=wt, phase=jnp.int32(p),
+                                     coarse_stride=stride)
+                return mapping_loss(out, gt[ids], lcfg)[0]
+
+            def loss_d(params):
+                out, _ = render_full(params, gm0.active, cam_p, opts,
+                                     bins=bins_d, tile_ids=ids,
+                                     tile_valid=wt)
+                return mapping_loss(out, gt[ids], lcfg)[0]
+
+            lc, gc = jax.value_and_grad(loss_c)(gm0.params)
+            ld, gd = jax.value_and_grad(loss_d)(gm0.params)
+            # ulp drift can flip borderline mask pixels (depth > 1e-5 /
+            # alpha cutoffs), nudging the masked-mean normalizers
+            np.testing.assert_allclose(float(lc), float(ld), rtol=1e-3)
+            # gaussians with no pairs in this phase must get EXACT
+            # zeros from the compact reduce
+            out_of_phase = np.asarray(
+                jnp.sum(bins_p.slab_phase == p, axis=0) == 0)
+            for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(gd)):
+                a, b = np.asarray(a), np.asarray(b)
+                assert np.all(a[out_of_phase] == 0.0), (stride, p)
+                # per-element max is brittle here: ulp drift flips
+                # borderline alpha/termination cutoffs, and one flipped
+                # pair moves its gaussian's grad by that pair's whole
+                # contribution. The aggregate relative error is the
+                # robust equivalence metric.
+                # bound calibrated on this scene: measured <= 3e-3 at
+                # stride 3 (small phases amplify single-pair flips);
+                # the reduction itself is oracle-exact — see
+                # test_phase_reduce_matches_numpy_oracle
+                rel = (np.linalg.norm(a - b)
+                       / (np.linalg.norm(b) + 1e-12))
+                assert rel < 1e-2, (stride, p, rel)
+
+
+def test_phase_reduce_matches_numpy_oracle(scene):
+    """Binning.phase_reduce (compact per-phase segment reduction) vs a
+    float64 numpy oracle summing each gaussian's phase pairs — isolates
+    the new reduction from kernel chunk-order noise."""
+    from gaus_slam_tpu.render import bin_full
+
+    ds, cam, grid, opts, lcfg, frames = scene
+    color0, depth0, w2c0 = frames[0]
+    gm = initialize_map(CAP, color0, depth0, w2c0, cam)
+    cam_p = cam.replace_w2c(w2c0)
+    rng = np.random.default_rng(7)
+    for stride in (2, 3):
+        bins = bin_full(gm.params, gm.active, cam_p, opts,
+                        phase_stride=stride)
+        assert not bool(bins.overflow)
+        r_max = int(bins.pair_gauss.shape[0])
+        ph_start = np.asarray(bins.phase_start)
+        pair_gauss = np.asarray(bins.pair_gauss)
+        pair_ok = np.asarray(bins.pair_ok)
+        for p in (0, stride * stride - 1):
+            p0, p1 = int(ph_start[p]), int(ph_start[p + 1])
+            p0_al = (p0 // 128) * 128
+            r_phase = -(-(p1 - p0_al) // 128) * 128 + 128
+            d_pairs = rng.standard_normal((r_phase, 8)).astype(np.float32)
+            got = np.asarray(bins.phase_reduce(
+                jnp.asarray(d_pairs), jnp.int32(p), CAP,
+                opts.max_tiles_per_gaussian))
+            want = np.zeros((CAP, 8), np.float64)
+            for i in range(p0, p1):
+                assert pair_ok[i]
+                want[pair_gauss[i]] += d_pairs[i - p0_al]
+            np.testing.assert_allclose(got, want, atol=1e-4,
+                                       err_msg=f"s{stride} p{p}")

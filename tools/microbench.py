@@ -272,6 +272,36 @@ def main():
             return jax.grad(f_loss_fwd)(params)
         bench("mapping grad (bins reused)", f_loss_grad, gm.params)
 
+    if on("mapcoarse"):
+        from gaus_slam_tpu.render import bin_full, render_full
+        from gaus_slam_tpu.slam.loss import mapping_loss
+        from gaus_slam_tpu.slam.steps import _coarse_map_phases
+
+        bins_pre = jax.jit(bin_full, static_argnames=("opts",))(
+            gm.params, gm.active, cam, opts)
+        stride = int(os.environ.get("MB_CMAP_STRIDE", 3))
+        ids = _coarse_map_phases(grid, stride)[0]
+
+        def f_map_c(gm):
+            return mapping_step(gm, w2c, gt_tiled, exp0, jnp.bool_(False),
+                                sched, cam, opts, mcfg, lcfg, bins=bins_pre,
+                                tile_ids=ids)
+        bench(f"mapping_step (bins reused, coarse s{stride})", f_map_c, gm)
+
+        @jax.jit
+        def f_loss_fwd_c(params):
+            out, _ = render_full(params, gm.active, cam, opts,
+                                 bins=bins_pre, need_normal=False,
+                                 tile_ids=ids)
+            return mapping_loss(out, gt_tiled[ids], lcfg)[0]
+        bench(f"mapping fwd only (coarse s{stride})", f_loss_fwd_c,
+              gm.params)
+
+        @jax.jit
+        def f_loss_grad_c(params):
+            return jax.grad(f_loss_fwd_c)(params)
+        bench(f"mapping grad (coarse s{stride})", f_loss_grad_c, gm.params)
+
     if on("track1"):
         tcfg1 = TrackConfig(num_iters=1, converged_th=-1.0,
                             rot_sched=LrSchedule(4e-4, 1e-4, 30),
