@@ -277,30 +277,46 @@ def main():
         from gaus_slam_tpu.slam.loss import mapping_loss
         from gaus_slam_tpu.slam.steps import _coarse_map_phases
 
+        stride = int(os.environ.get("MB_CMAP_STRIDE", 3))
+        phases, pvalid = _coarse_map_phases(grid, stride)
+        ids, wt = phases[0], pvalid[0]
         bins_pre = jax.jit(bin_full, static_argnames=("opts",))(
             gm.params, gm.active, cam, opts)
-        stride = int(os.environ.get("MB_CMAP_STRIDE", 3))
-        ids = _coarse_map_phases(grid, stride)[0]
+        bins_ph = jax.jit(
+            bin_full, static_argnames=("opts", "phase_stride"))(
+            gm.params, gm.active, cam, opts, phase_stride=stride)
 
         def f_map_c(gm):
             return mapping_step(gm, w2c, gt_tiled, exp0, jnp.bool_(False),
                                 sched, cam, opts, mcfg, lcfg, bins=bins_pre,
-                                tile_ids=ids)
-        bench(f"mapping_step (bins reused, coarse s{stride})", f_map_c, gm)
+                                tile_ids=ids, tile_valid=wt)
+        bench(f"mapping_step (dense coarse s{stride})", f_map_c, gm)
+
+        def f_map_cc(gm):
+            return mapping_step(gm, w2c, gt_tiled, exp0, jnp.bool_(False),
+                                sched, cam, opts, mcfg, lcfg, bins=bins_ph,
+                                tile_ids=ids, tile_valid=wt,
+                                phase=jnp.int32(0), coarse_stride=stride)
+        bench(f"mapping_step (COMPACT coarse s{stride})", f_map_cc, gm)
 
         @jax.jit
         def f_loss_fwd_c(params):
             out, _ = render_full(params, gm.active, cam, opts,
-                                 bins=bins_pre, need_normal=False,
-                                 tile_ids=ids)
+                                 bins=bins_ph, need_normal=False,
+                                 tile_ids=ids, tile_valid=wt,
+                                 phase=jnp.int32(0), coarse_stride=stride)
             return mapping_loss(out, gt_tiled[ids], lcfg)[0]
-        bench(f"mapping fwd only (coarse s{stride})", f_loss_fwd_c,
+        bench(f"mapping fwd only (compact s{stride})", f_loss_fwd_c,
               gm.params)
 
         @jax.jit
         def f_loss_grad_c(params):
             return jax.grad(f_loss_fwd_c)(params)
-        bench(f"mapping grad (coarse s{stride})", f_loss_grad_c, gm.params)
+        bench(f"mapping grad (compact s{stride})", f_loss_grad_c, gm.params)
+
+        f_bin_ph = jax.jit(
+            lambda p, a: bin_full(p, a, cam, opts, phase_stride=stride))
+        bench("bin_full (phase-major)", f_bin_ph, gm.params, gm.active)
 
     if on("track1"):
         tcfg1 = TrackConfig(num_iters=1, converged_th=-1.0,

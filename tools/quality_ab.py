@@ -83,6 +83,10 @@ VARIANTS = {
     # coarse mapping in the BACKEND's fused batches too (global-map
     # refinement at 1/9 tiles per task, phase carried across batches)
     "cmapb3": {"BACKEND_COARSE_MAP_STRIDE": "3"},
+    # the shipped defaults AFTER the compact phase-major rework (same
+    # config as "default"; distinct label so rows measured under the
+    # new code path aren't averaged with pre-rework default rows)
+    "defaultc": {},
 }
 
 
