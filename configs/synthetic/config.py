@@ -160,6 +160,13 @@ config = dict(
         # 38.45+-1.02 / 0.0061 — both within the 0.3 dB budget (better
         # than default on the seed means); 3 shipped here.
         coarse_map_stride=int(os.environ.get("COARSE_MAP_STRIDE", 3)),
+        # compact coarse tracking: phase-major pair cache whose head
+        # block is the coarse checkerboard's pairs — coarse iterations
+        # slice it, cutting per-pair preprocess + pose-grad reduction to
+        # O(r_max/s^2)/iter. Same pairs per rendered tile; only f32
+        # accumulation grouping moves (A/B row "ctrack0" reverts).
+        compact_coarse_track=bool(
+            int(os.environ.get("COMPACT_TRACK", 1))),
         # same rotating-checkerboard schedule for the backend's fused
         # 4-task mapping batches (global-map refinement); gated by its
         # own A/B row ("cmapb3") — 1 = dense reference-exact batches

@@ -77,10 +77,24 @@ class LocalMap:
         posed = [f for f in frames if f.pose is not None]
         if posed:
             # one vmapped quat->matrix dispatch; per-frame eager pose.w2c
-            # runs ~10 small ops each through the tunneled device
-            fetch["w2cs"] = _stack_pose_w2cs(
-                jnp.stack([f.pose.quat for f in posed]),
-                jnp.stack([f.pose.trans for f in posed]))
+            # runs ~10 small ops each through the tunneled device.
+            # PAD to a bucketed K: submap lengths vary, and a fresh
+            # [K, 4] shape re-traces + re-lowers this program at EVERY
+            # cut (~seconds per new length on a 1-core host). Identity
+            # quaternions pad harmlessly; the host slice below drops
+            # the padded matrices.
+            k = len(posed)
+            k_pad = -(-k // 8) * 8
+            quats = jnp.stack([f.pose.quat for f in posed])
+            trans = jnp.stack([f.pose.trans for f in posed])
+            if k_pad > k:
+                eye_q = jnp.tile(
+                    jnp.asarray([1.0, 0, 0, 0], jnp.float32)[None],
+                    (k_pad - k, 1))
+                quats = jnp.concatenate([quats, eye_q])
+                trans = jnp.concatenate(
+                    [trans, jnp.zeros((k_pad - k, 3), jnp.float32)])
+            fetch["w2cs"] = _stack_pose_w2cs(quats, trans)
         exposed = [f for f in frames if f.exposure is not None]
         fetch["exps"] = [(f.exposure.gain, f.exposure.bias) for f in exposed]
         host = jax.device_get(fetch)

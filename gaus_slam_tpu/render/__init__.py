@@ -147,6 +147,21 @@ def phase_budget(opts: "RenderOptions", n: int, stride: int) -> int:
     return -(-(2 * opts.r_max(n)) // (stride * stride * 128)) * 128 + 128
 
 
+def track_coarse_budget(r_max: int, stride: int) -> int:
+    """Static pair budget for the tracking cache's coarse head block.
+
+    A phase-major tracking cache (``bin_for_tracking(coarse_stride=s)``)
+    stores phase 0's pairs — exactly the coarse checkerboard tiles the
+    tracking loop renders for its first ``coarse_iters`` iterations — as
+    the FIRST rows of the pair array. Slicing the cache to this budget
+    makes each coarse iteration's per-pair preprocess + pose-gradient
+    reduction O(r_max/s^2) instead of O(r_max). 2x the average phase
+    share (no alignment head needed: the block starts at offset 0);
+    outgrowing it reports through the cache's overflow diagnostic and
+    the standard escalation ladder re-sizes r_max (and so this too)."""
+    return min(r_max, -(-(2 * r_max) // (stride * stride * 128)) * 128)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -349,9 +364,10 @@ class PairCache(NamedTuple):
         return self.raw_t[10:13]
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
+@functools.partial(jax.jit, static_argnames=("opts", "coarse_stride"))
 def bin_for_tracking(
-    gm: GaussianMap, cam0: Camera, opts: RenderOptions
+    gm: GaussianMap, cam0: Camera, opts: RenderOptions,
+    coarse_stride: int = 0,
 ) -> PairCache:
     """Binning + raw-param pair expansion at the tracking init pose.
     One compiled program (see render_view note on dispatch latency).
@@ -360,6 +376,17 @@ def bin_for_tracking(
     tracking iterations while the pose moves — the per-iteration motion
     is sub-pixel, and `rebin_every` in the frontend re-runs this when
     needed. Inactive gaussians and budget-padding pairs get opacity 0.
+
+    ``coarse_stride`` > 1 orders the pairs PHASE-MAJOR (checkerboard
+    phase of the home tile first): phase 0 — the coarse tracking tile
+    subset — then occupies the HEAD of every cache array, so the coarse
+    iterations can run on a ``track_coarse_budget``-row slice of the
+    cache (see render_tracking ``pair_hi``). Per-tile ranges and depth
+    order are unchanged; the full-resolution phase reads the same cache
+    as before (global pair placement differs, which only regroups the
+    compositor's 128-lane accumulation chunks — ulp-level drift).
+    A phase-0 block outgrowing its budget reports through ``overflow``
+    and escalates like any pair-budget overflow.
     """
     params = jax.tree.map(lax.stop_gradient, gm.params)
     xyz, scales, quats, opac, rgb = _activated(params, gm.active)
@@ -367,7 +394,12 @@ def bin_for_tracking(
     bins = B.bin_gaussians(
         summary, opts.grid, r_max=opts.r_max(xyz.shape[0]),
         max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
+        phase_stride=coarse_stride if coarse_stride > 1 else 0,
     )
+    overflow = bins.overflow
+    if coarse_stride > 1:
+        r_p0 = track_coarse_budget(opts.r_max(xyz.shape[0]), coarse_stride)
+        overflow = overflow | (bins.phase_start[1] > r_p0)
     # ONE fused row-gather for all raw fields (row gathers are
     # latency-bound per row on TPU, so 1 wide gather beats 5 narrow ones)
     opac_act = jnp.where(gm.active, opac, 0.0)
@@ -379,7 +411,7 @@ def bin_for_tracking(
     return PairCache(
         raw_t=rows.T,  # one relayout; every tracking iter reads rows
         tile_start=bins.tile_start, tile_stop=bins.tile_stop,
-        num_pairs=bins.num_pairs, overflow=bins.overflow,
+        num_pairs=bins.num_pairs, overflow=overflow,
         n_shrunk=bins.n_shrunk,
     )
 
@@ -387,6 +419,7 @@ def bin_for_tracking(
 def render_tracking(
     cache: PairCache, pose_quat, pose_trans, cam_proj: Camera,
     opts: RenderOptions, tile_ids: jnp.ndarray | None = None,
+    pair_hi: int | None = None,
 ):
     """Tracking-mode render: pair-cached map moved by the live pose.
 
@@ -396,9 +429,24 @@ def render_tracking(
 
     ``tile_ids`` renders only that subset of image tiles (coarse
     tracking); the output is [len(tile_ids), OUT_C, P].
+
+    ``pair_hi`` (static) slices the cache to its first ``pair_hi`` pair
+    rows before any per-pair math — valid ONLY when the cache is
+    phase-major (``bin_for_tracking(coarse_stride=s)``) and ``tile_ids``
+    is the coarse phase-0 tile set, whose pairs occupy exactly that head
+    block. The per-iteration pose move + preprocess + pose-gradient
+    reduction then run on O(r_max/s^2) rows. Under phase-0 overflow the
+    clipped tiles render partially (the cache's overflow diagnostic has
+    already reported, and escalation re-bins with a bigger budget).
     """
     from ..ops.se3 import pose_matrix, quat_normalize
 
+    if pair_hi is not None and pair_hi < cache.raw_t.shape[1]:
+        cache = cache._replace(
+            raw_t=cache.raw_t[:, :pair_hi],
+            tile_start=jnp.minimum(cache.tile_start, pair_hi),
+            tile_stop=jnp.minimum(cache.tile_stop, pair_hi),
+        )
     w2c = pose_matrix(pose_quat, pose_trans)
     q = quat_normalize(pose_quat)
     cam_eye = cam_proj.replace_w2c(jnp.eye(4, dtype=jnp.float32))

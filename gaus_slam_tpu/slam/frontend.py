@@ -165,6 +165,14 @@ class Frontend:
         self.speculative_bin = bool(config.get("tpu", {}).get(
             "speculative_bin", True))
         self._spec = None
+        # compact coarse tracking: bin the tracking pair cache
+        # PHASE-MAJOR so the coarse checkerboard's pairs are its head
+        # block, and run the coarse iterations on that O(r_max/s^2)
+        # slice (same pairs, same gradient up to summation order — the
+        # sliced-off pairs contribute exactly zero). Off = the coarse
+        # phase renders the same tile subset from the full cache.
+        self.compact_coarse_track = bool(config.get("tpu", {}).get(
+            "compact_coarse_track", True))
 
         self.map: G.GaussianMap | None = None
         self.local_frames: list[Frame] = []
@@ -254,11 +262,18 @@ class Frontend:
         enables the next frame's speculation (see tracking_loop)."""
         s = self.sys
         t0 = time.perf_counter()
+        # phase-major cache stride: set whenever the loop will run a
+        # coarse phase AND the compact slice is enabled
+        tf = s.track_front
+        stride = (tf.coarse_stride
+                  if self.compact_coarse_track and tf.coarse_iters > 0
+                  and tf.coarse_stride > 1 else 0)
         if spec_cache is not None:
             cache = spec_cache
         else:
             cam0 = s.cam.replace_w2c(_pose_w2c(frame.pose))
-            cache = bin_for_tracking(self.map, cam0, s.opts)
+            cache = bin_for_tracking(self.map, cam0, s.opts,
+                                     coarse_stride=stride)
         if os.environ.get("GAUS_PROFILE"):
             _sync(cache.raw_t)
             t_bin = time.perf_counter() - t0
@@ -271,6 +286,7 @@ class Frontend:
             pose, aux1 = tracking_loop(
                 cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
                 tcfg._replace(num_iters=tcfg.coarse_iters), s.lcfg,
+                compact_coarse=stride > 1,
             )
             # the init-pose cache's binning diagnostics must reach the
             # escalation ladder too — a transient overflow in phase 1
@@ -282,12 +298,14 @@ class Frontend:
             iters_pre = aux1["iters"]
             tcfg = tcfg._replace(
                 num_iters=tcfg.num_iters - tcfg.coarse_iters, coarse_iters=0)
+            stride = 0  # fresh cache is tile-major; no coarse phase left
         predict = (self.speculative_bin and prev_pose is not None)
         pose, aux = tracking_loop(
             cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
             tcfg, s.lcfg, want_view=want_view,
             prev_pose=prev_pose if predict else None,
             predict=predict, use_vel=self.vel_pose_init,
+            compact_coarse=stride > 1,
         )
         frame.pose = pose
         # ONE fused readback for everything the host needs this frame
@@ -315,7 +333,11 @@ class Frontend:
             # object identity) if anything changes the map first.
             fetch["pred_w2c"] = aux["pred_w2c"]
             spec_next = bin_for_tracking(
-                self.map, s.cam.replace_w2c(aux["pred_w2c"]), s.opts)
+                self.map, s.cam.replace_w2c(aux["pred_w2c"]), s.opts,
+                coarse_stride=(tf.coarse_stride
+                               if self.compact_coarse_track
+                               and tf.coarse_iters > 0
+                               and tf.coarse_stride > 1 else 0))
         ts0 = time.perf_counter()
         host = jax.device_get(fetch)
         # device-drain wait vs host dispatch split (bench reporting)

@@ -53,7 +53,7 @@ def _coarse_tile_ids(grid, stride: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("opts", "tcfg", "lcfg", "want_view", "predict",
-                     "use_vel"),
+                     "use_vel", "compact_coarse"),
 )
 def tracking_loop(
     cache: PairCache,
@@ -67,6 +67,7 @@ def tracking_loop(
     prev_pose: PoseState | None = None,
     predict: bool = False,
     use_vel: bool = True,
+    compact_coarse: bool = False,
 ):
     """Full tracking optimization for one frame as one XLA program.
 
@@ -88,10 +89,10 @@ def tracking_loop(
     value-identical to the host pose init it replaces; it is discarded
     whenever the map changes under it)."""
 
-    def make_grad_fn(tile_ids, gt_sub):
+    def make_grad_fn(tile_ids, gt_sub, pair_hi=None):
         def loss_fn(quat, trans):
             out = render_tracking(cache, quat, trans, cam_proj, opts,
-                                  tile_ids=tile_ids)
+                                  tile_ids=tile_ids, pair_hi=pair_hi)
             loss, aux = tracking_loss(out, gt_sub, lcfg)
             return loss, aux
 
@@ -123,8 +124,18 @@ def tracking_loop(
     n_coarse = min(tcfg.coarse_iters, tcfg.num_iters)
     if n_coarse > 0 and opts.backend != "reference":
         ids = _coarse_tile_ids(opts.grid, tcfg.coarse_stride)
+        # compact coarse: a phase-major cache keeps exactly these tiles'
+        # pairs as its head block — slice it so per-pair work is
+        # O(r_max/s^2) per coarse iteration (see render_tracking pair_hi)
+        pair_hi = None
+        if compact_coarse and tcfg.coarse_stride > 1:
+            from ..render import track_coarse_budget
+
+            pair_hi = track_coarse_budget(cache.raw_t.shape[1],
+                                          tcfg.coarse_stride)
         carry = lax.while_loop(
-            cond_until(n_coarse), make_body(make_grad_fn(ids, gt_tiled[ids])),
+            cond_until(n_coarse),
+            make_body(make_grad_fn(ids, gt_tiled[ids], pair_hi)),
             carry,
         )
     pose, iters, _, loss, depth_l1 = lax.while_loop(

@@ -154,6 +154,55 @@ def test_tracking_coarse_to_fine_recovers_pose(scene, mapped):
     assert int(aux["iters"]) == 60
     assert t_err < 0.4 * t_err0, (t_err0, t_err)
 
+def test_tracking_compact_coarse_matches_full(scene, mapped):
+    """Compact coarse tracking (phase-major cache + head-block slice,
+    render/__init__.py track_coarse_budget): the sliced cache must hold
+    exactly the coarse tiles' pairs, and the optimized pose must match
+    the full-cache coarse loop up to f32 accumulation-order drift (the
+    sliced-off pairs contribute exactly zero gradient)."""
+    from gaus_slam_tpu.render import track_coarse_budget
+
+    ds, cam, grid, opts, lcfg, frames = scene
+    gm, _ = mapped
+    color1, depth1, w2c1 = frames[1]
+    w2c0 = frames[0][2]
+    gt = gt_tiles(color1, depth1, grid)
+    tcfg = TrackConfig(
+        num_iters=30, converged_th=-1.0,
+        rot_sched=LrSchedule(8e-4, 8e-5, 60),
+        trans_sched=LrSchedule(4e-3, 4e-4, 60),
+        coarse_iters=30, coarse_stride=2,
+    )
+    cam0 = cam.replace_w2c(w2c0)
+    cache_p = bin_for_tracking(gm, cam0, opts, coarse_stride=2)
+    # structural: every coarse tile's range fits the head budget
+    from gaus_slam_tpu.slam.steps import _coarse_tile_ids
+
+    ids = np.asarray(_coarse_tile_ids(grid, 2))
+    r_p0 = track_coarse_budget(cache_p.raw_t.shape[1], 2)
+    assert not bool(cache_p.overflow)
+    assert int(jnp.max(cache_p.tile_stop[ids])) <= r_p0
+    # non-coarse tiles live strictly ABOVE the head block
+    rest = np.setdiff1d(np.arange(grid.num_tiles), ids)
+    starts = np.asarray(cache_p.tile_start[rest])
+    stops = np.asarray(cache_p.tile_stop[rest])
+    head_max = int(jnp.max(cache_p.tile_stop[ids]))
+    assert np.all(starts[stops > starts] >= head_max)
+
+    pose_c, aux_c = tracking_loop(cache_p, init_pose(w2c0), gt, cam, opts,
+                                  tcfg, lcfg, compact_coarse=True)
+    cache_f = bin_for_tracking(gm, cam0, opts)
+    pose_f, aux_f = tracking_loop(cache_f, init_pose(w2c0), gt, cam, opts,
+                                  tcfg, lcfg)
+    assert int(aux_c["iters"]) == int(aux_f["iters"]) == 30
+    # identical pair sets per rendered tile; only the kernel's 128-lane
+    # chunk grouping (absolute-offset keyed) differs between the two
+    # cache layouts -> Adam-amplified f32 drift, small vs the pose step
+    step_scale = float(jnp.linalg.norm(pose_f.trans - w2c0[:3, 3])) + 1e-6
+    drift = float(jnp.linalg.norm(pose_c.trans - pose_f.trans))
+    assert drift < 0.15 * step_scale + 1e-5, (drift, step_scale)
+
+
 def test_tracking_mid_loop_refresh_semantics(scene, mapped):
     """tracking_refresh (frontend A/B knob): after the coarse phase the
     pair cache is re-binned at the updated pose. Asserts the semantic

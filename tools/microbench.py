@@ -333,6 +333,39 @@ def main():
     if on("view"):
         bench("render_view", render_view, gm, cam, opts)
 
+    if on("trackcoarse"):
+        # coarse tracking iteration: full cache vs compact phase-major
+        # head slice (render/__init__.py track_coarse_budget)
+        stride = int(os.environ.get("MB_TRACK_STRIDE", 2))
+        tcfg_c = TrackConfig(num_iters=10, converged_th=-1.0,
+                             rot_sched=LrSchedule(4e-4, 1e-4, 30),
+                             trans_sched=LrSchedule(2e-3, 4e-4, 30),
+                             coarse_iters=10, coarse_stride=stride)
+        pose = init_pose(np.eye(4, dtype=np.float32))
+        cache_f = bin_for_tracking(gm, cam, opts)
+        cache_p = bin_for_tracking(gm, cam, opts, coarse_stride=stride)
+
+        def f_track_full(cache, pose):
+            return tracking_loop(cache, pose, gt_tiled, cam, opts, tcfg_c,
+                                 lcfg)
+
+        def f_track_compact(cache, pose):
+            return tracking_loop(cache, pose, gt_tiled, cam, opts, tcfg_c,
+                                 lcfg, compact_coarse=True)
+        bench(f"track 10x coarse s{stride} (full cache)",
+              f_track_full, cache_f, pose)
+        bench(f"track 10x coarse s{stride} (COMPACT)",
+              f_track_compact, cache_p, pose)
+        bench("bin_for_tracking (tile-major)", lambda g: bin_for_tracking(
+            g, cam, opts), gm)
+        bench("bin_for_tracking (phase-major)", lambda g: bin_for_tracking(
+            g, cam, opts, coarse_stride=stride), gm)
+        p_f, a_f = f_track_full(cache_f, pose)
+        p_c, a_c = f_track_compact(cache_p, pose)
+        dt = float(jnp.max(jnp.abs(p_f.trans - p_c.trans)))
+        dq = float(jnp.max(jnp.abs(p_f.quat - p_c.quat)))
+        print(f"compact-vs-full pose drift: trans={dt:.2e} quat={dq:.2e}")
+
     if on("track"):
         tcfg = TrackConfig(num_iters=10, converged_th=-1.0,
                            rot_sched=LrSchedule(4e-4, 1e-4, 30),

@@ -87,6 +87,13 @@ VARIANTS = {
     # config as "default"; distinct label so rows measured under the
     # new code path aren't averaged with pre-rework default rows)
     "defaultc": {},
+    # compact coarse TRACKING cache off (full-cache coarse iterations;
+    # isolates the phase-major tracking-cache slice, which only regroups
+    # f32 accumulation chunks — expected quality-free)
+    "ctrack0": {"COMPACT_TRACK": "0"},
+    # shipped defaults after compact coarse tracking landed (fresh rows
+    # under the new default code path, same config as "default")
+    "defaultt": {},
 }
 
 
