@@ -30,10 +30,14 @@ class LrSchedule(NamedTuple):
     max_steps: int
 
     def at(self, step):
-        """Linear interpolation, clamped (Frame.py:28-43)."""
-        if self.init == 0.0 and self.final == 0.0:
-            return jnp.zeros_like(jnp.asarray(step, jnp.float32))
-        t = jnp.clip(jnp.asarray(step, jnp.float32) / self.max_steps, 0.0, 1.0)
+        """Linear interpolation, clamped (Frame.py:28-43). Trace-safe:
+        the schedule may arrive as a traced jit argument (e.g. the
+        exposure schedule inside mapping_step), so no python branching
+        on its values; an all-zero schedule evaluates to 0 anyway."""
+        t = jnp.clip(
+            jnp.asarray(step, jnp.float32)
+            / jnp.maximum(jnp.asarray(self.max_steps, jnp.float32), 1.0),
+            0.0, 1.0)
         return (1.0 - t) * self.init + t * self.final
 
 

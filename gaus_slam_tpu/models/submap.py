@@ -18,7 +18,8 @@ import numpy as np
 
 from ..ops.se3 import pose_matrix
 from .descriptor import describe_frames, query_covisible
-from .frame import Frame, PoseState, init_pose
+from .frame import (ExposureState, Frame, PoseState, init_exposure,
+                    init_pose)
 
 # composed pose as ONE dispatch: eager `est @ transform.w2c` runs ~12
 # small ops through the tunneled device (~1 ms each), and the backend
@@ -39,6 +40,10 @@ class LocalMap:
     saved_idxs: list = field(default_factory=list)
     ref2f0: np.ndarray | None = None  # first frame's w2c at cut time
     transform: PoseState | None = None
+    # per-submap exposure (reference LocalMap.start_optimizer,
+    # scene/Frame.py:241-243): created alongside the transform when
+    # enable_exposure; stepped by the backend after mapping_times > 120
+    exposure: ExposureState | None = None
     map_desc: object = None           # [reps, D]
     mapping_times: int = 0
     # host mirror of map_params' n_active (set at cut time so the
@@ -118,8 +123,19 @@ class LocalMap:
             fr.est_w2c = fr.est_w2c @ f02ref
         return lm
 
-    def start_optimizer(self, initial_w2c):
+    def start_optimizer(self, initial_w2c, enable_exposure: bool = False):
         self.transform = init_pose(initial_w2c)
+        if enable_exposure:
+            self.exposure = init_exposure()
+
+    def frame_exp(self, f_idx) -> np.ndarray:
+        """The frame's frozen (gain, bias) as a host [2] array. The
+        composition with the live submap exposure (reference
+        get_frame_exposure, scene/Frame.py:250-257: A = lm_g * f_g,
+        B = lm_g * f_b + lm_b) happens inside the jitted steps so the
+        submap part keeps its gradient path."""
+        g, b = self.frames[f_idx].est_exposure
+        return np.asarray([g, b], np.float32)
 
     def get_frame_w2c(self, f_idx):
         """Composed pose: frame-in-submap @ submap transform

@@ -28,8 +28,8 @@ from ..ops.composite_ref import frame_to_tiles
 from ..ops.se3 import invert_se3, quat_multiply, rotmat_to_quat
 from ..utils.config import SystemConfig
 from ..utils.fence import probe_fence
-from .steps import (backend_tracking_step, fold_diags, mapping_loop,
-                    mapping_step)
+from .steps import (ba_step, backend_tracking_step, fold_diags,
+                    mapping_loop, mapping_step)
 
 
 def transform_params(params: G.Params, transfer: jnp.ndarray) -> G.Params:
@@ -90,6 +90,18 @@ class Backend:
         # submap (each flip re-traces every backend program)
         self.capacity_floor = int(config.get("tpu", {}).get(
             "backend_capacity", 0))
+        # predictive horizon sizing: when a merge DOES need a bigger
+        # bucket, jump far enough ahead to cover the next
+        # `capacity_horizon` merges' predicted peaks (measured per-merge
+        # growth), so bucket flips — each one a 30-90 s re-trace of the
+        # whole backend program set on a slow host — happen O(log)
+        # times over a trajectory instead of every other merge. The
+        # TPU-native replacement for the reference's per-frame dynamic
+        # buffer resize (rasterizer_impl.cu:283-291), which a static-
+        # shape compiler cannot have.
+        self.capacity_horizon = int(config.get("tpu", {}).get(
+            "capacity_horizon", 4))
+        self._peak_hist: list[int] = []  # merge-peak history (host)
         # coarse mapping for the fused mapping batches (rotating
         # checkerboard tile subsets — see steps.mapping_loop). Separate
         # knob from the frontend's: the backend refines against the
@@ -111,6 +123,12 @@ class Backend:
         self.task_queue = _queue.Queue()
         self.covis_idxs: list[int] = []
         self.exposure = init_exposure()  # placeholder when disabled
+        # per-submap exposure optimization (Backend.py:106-124):
+        # mapping steps the submap's exposure after mapping_times > 120,
+        # composed with the frame's frozen exposure (Frame.py:250-257)
+        self.enable_exposure = bool(
+            config["render"].get("enable_exposure", False))
+        self.exposure_start = int(be.get("exposure_start", 120))
         self.ape_rec = []
         self.totalpts_rec = []
         # per-step binning diagnostics accumulate here (device scalars,
@@ -145,7 +163,20 @@ class Backend:
             self.sys = new
 
     # ------------------------------------------------------------------
-    def _fit_capacity(self, needed: int | None = None):
+    def _merge_horizon(self) -> int:
+        """Predicted additional merge-peak growth over the next
+        ``capacity_horizon`` merges, from the measured peak history.
+        Covering it up front turns per-merge bucket flips (each a full
+        backend re-trace) into O(log)-per-run events."""
+        h = self._peak_hist
+        if len(h) < 2 or self.capacity_horizon <= 0:
+            return 0
+        recent = h[-4:]
+        deltas = [max(b - a, 0) for a, b in zip(recent, recent[1:])]
+        g = sum(deltas) // max(len(deltas), 1)
+        return self.capacity_horizon * g
+
+    def _fit_capacity(self, needed: int | None = None, horizon: int = 0):
         gm = self.map
         if needed is None:
             # one device sync; refresh the host mirror while we're at it
@@ -157,6 +188,12 @@ class Backend:
                                 self.capacity_margin, self.capacity_floor)
         if cap < gm.capacity and n > 0.35 * gm.capacity:
             return
+        if cap > gm.capacity and horizon > 0:
+            # this merge flips the bucket anyway — jump to the bucket
+            # covering the predicted horizon so the NEXT merges don't
+            cap = G.bucket_capacity(n + horizon, self.capacity_quantum,
+                                    self.capacity_margin,
+                                    self.capacity_floor)
         self.map = G.resize_map(gm, cap)
 
     def _tile_gt(self, frame):
@@ -174,11 +211,22 @@ class Backend:
         fid = self.rng.choice(lm.saved_idxs)
         frame = lm.frames[fid]
         w2c = lm.get_frame_w2c(fid)
-        gm, self.exposure, aux = mapping_step(
-            self.map, w2c, self._tile_gt(frame), self.exposure,
-            jnp.bool_(False), s.exp_sched_back, s.cam, s.opts, s.mcfg, s.lcfg,
+        # per-submap exposure: composed with the frame's frozen exposure
+        # inside the step; stepped only after mapping_times > threshold
+        # (Backend.py:121-124)
+        live_exp = self.enable_exposure and lm.exposure is not None
+        exp = lm.exposure if live_exp else self.exposure
+        fexp = (jnp.asarray(lm.frame_exp(fid)) if live_exp else None)
+        do_exp = jnp.bool_(live_exp
+                           and lm.mapping_times > self.exposure_start)
+        gm, exp_out, aux = mapping_step(
+            self.map, w2c, self._tile_gt(frame), exp,
+            do_exp, s.exp_sched_back, s.cam, s.opts, s.mcfg, s.lcfg,
+            frame_exp=fexp,
         )
         self.map = gm
+        if live_exp:
+            lm.exposure = exp_out
         lm.mapping_times += 1
         self._note_diag(aux)
         if self.gs_densify:
@@ -263,12 +311,46 @@ class Backend:
             return {}
         fid = self.rng.choice(lm.saved_idxs)
         frame = lm.frames[fid]
+        live_exp = self.enable_exposure and lm.exposure is not None
         pose, aux = backend_tracking_step(
             self.map, lm.transform, jnp.asarray(frame.est_w2c),
             self._tile_gt(frame), s.cam, s.opts,
             tcfg or s.track_back, s.lcfg,
+            exposure=lm.exposure if live_exp else None,
+            frame_exp=(jnp.asarray(lm.frame_exp(fid))
+                       if live_exp else None),
         )
         lm.transform = pose
+        self._note_diag(aux)
+        return aux
+
+    def ba(self, lm_idx: int):
+        """Backend "ba" task (Backend.py:130-155): a mapping step at the
+        composed frame pose plus an LR-schedule advance on the submap
+        transform (see steps.ba_step for why the pose itself receives no
+        gradient — faithful to the reference's own detach). Never
+        enqueued by the shipped schedule (dead in the reference too);
+        reachable through process() for parity (Backend.py:189-191)."""
+        s = self.sys
+        lm: LocalMap = self.local_maps[lm_idx]
+        if not lm.saved_idxs:
+            return {}
+        fid = self.rng.choice(lm.saved_idxs)
+        frame = lm.frames[fid]
+        live_exp = self.enable_exposure and lm.exposure is not None
+        exp = lm.exposure if live_exp else self.exposure
+        gm, pose, exp_out, aux = ba_step(
+            self.map, lm.transform,
+            jnp.asarray(frame.est_w2c, jnp.float32),
+            self._tile_gt(frame), exp, s.cam, s.opts, s.mcfg, s.lcfg,
+            s.exp_sched_back,
+            frame_exp=(jnp.asarray(lm.frame_exp(fid))
+                       if live_exp else None),
+        )
+        self.map = gm
+        lm.transform = pose
+        if live_exp:
+            lm.exposure = exp_out
         self._note_diag(aux)
         return aux
 
@@ -334,9 +416,13 @@ class Backend:
                 self.prune()
             elif cmd[0] == "tracking":
                 self.tracking(cmd[1])
+            elif cmd[0] == "ba":
+                self.ba(cmd[1])
             elif cmd[0] == "mapping":
-                if self.ba_group > 1 and not self.gs_densify:
-                    # gs_densify needs per-step stats -> sequential path
+                # the fused/sharded batch paths can't step per-submap
+                # exposure (or per-step densify stats) -> sequential path
+                fuse_ok = not self.gs_densify and not self.enable_exposure
+                if self.ba_group > 1 and fuse_ok:
                     # batch consecutive mapping tasks onto the mesh
                     idxs = [cmd[1]]
                     while (len(idxs) < self.ba_group
@@ -344,7 +430,7 @@ class Backend:
                            and self.task_queue.queue[0][0] == "mapping"):
                         idxs.append(self.task_queue.get()[1])
                     self.mapping_group(idxs)
-                elif not self.gs_densify:
+                elif fuse_ok:
                     # single chip: fuse up to MAP_BATCH consecutive
                     # mapping tasks into one dispatched program (only
                     # full batches, so exactly one extra shape bucket)
@@ -415,14 +501,15 @@ class Backend:
 
         if not lm.tracking_ok:
             print("backend global tracking for local tracking lost")
-            lm.start_optimizer(initial_w2kf)
+            lm.start_optimizer(initial_w2kf, self.enable_exposure)
             self.re_tracking(self.cur_lmid)
             initial_w2kf = np.asarray(lm.get_w2c)
 
-        lm.start_optimizer(initial_w2kf)
+        lm.start_optimizer(initial_w2kf, self.enable_exposure)
         _mark("retrack_or_init")
 
         if self.cur_lmid == 0:
+            self._peak_hist.append(n_donor)
             cap = G.bucket_capacity(n_donor, self.capacity_quantum,
                                     self.capacity_margin,
                                     self.capacity_floor)
@@ -442,7 +529,9 @@ class Backend:
             params = params._replace(
                 opacity_logit=jnp.minimum(params.opacity_logit, cap_logit)
             )
-            self._fit_capacity(self.n_active_host + n_donor)
+            peak = self.n_active_host + n_donor
+            self._peak_hist.append(peak)
+            self._fit_capacity(peak, horizon=self._merge_horizon())
             self.n_active_host += n_donor
             _mark("transform+fit")
             self.map = G.add_params(self.map, params, active)
@@ -534,7 +623,8 @@ class Backend:
             k = min(self.MAP_BATCH, iters - done)
             idxs = [self.rng.choice(range(len(self.local_maps)))
                     for _ in range(k)]
-            if not self.gs_densify and k == self.MAP_BATCH:
+            if (not self.gs_densify and not self.enable_exposure
+                    and k == self.MAP_BATCH):
                 self.mapping_batch(idxs)
             else:
                 for i in idxs:

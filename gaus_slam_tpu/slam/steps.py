@@ -41,6 +41,21 @@ class TrackConfig(NamedTuple):
     # remaining iterations run at full resolution.
     coarse_iters: int = 0
     coarse_stride: int = 2
+    # pyramid schedule: ((iters, stride), ...) coarse -> fine, e.g.
+    # ((10, 4), (14, 2)) runs 10 iterations on a stride-4 checkerboard,
+    # then 14 on stride-2, then full resolution to num_iters. Supersedes
+    # coarse_iters/coarse_stride when non-empty. Strides must be
+    # nested (each divides the previous) so one phase-major cache
+    # serves every level as a head prefix (binning.phase_positions).
+    coarse_levels: tuple = ()
+
+    def levels(self) -> tuple:
+        """Effective coarse schedule as ((iters, stride), ...)."""
+        if self.coarse_levels:
+            return tuple((int(i), int(s)) for i, s in self.coarse_levels)
+        if self.coarse_iters > 0:
+            return ((self.coarse_iters, self.coarse_stride),)
+        return ()
 
 
 def _coarse_tile_ids(grid, stride: int) -> jnp.ndarray:
@@ -121,23 +136,29 @@ def tracking_loop(
 
     carry = (pose0, jnp.int32(0), jnp.int32(0), jnp.float32(0.0),
              jnp.float32(0.0))
-    n_coarse = min(tcfg.coarse_iters, tcfg.num_iters)
-    if n_coarse > 0 and opts.backend != "reference":
-        ids = _coarse_tile_ids(opts.grid, tcfg.coarse_stride)
-        # compact coarse: a phase-major cache keeps exactly these tiles'
-        # pairs as its head block — slice it so per-pair work is
-        # O(r_max/s^2) per coarse iteration (see render_tracking pair_hi)
-        pair_hi = None
-        if compact_coarse and tcfg.coarse_stride > 1:
-            from ..render import track_coarse_budget
+    consumed = 0
+    if opts.backend != "reference":
+        for it_l, s_l in tcfg.levels():
+            n_l = min(it_l, tcfg.num_iters - consumed)
+            if n_l <= 0 or s_l <= 1:
+                continue
+            ids = _coarse_tile_ids(opts.grid, s_l)
+            # compact coarse: a phase-major cache keeps exactly this
+            # level's tiles' pairs as a head prefix — slice it so
+            # per-pair work is O(r_max/s^2) per iteration (see
+            # render_tracking pair_hi; multi-level caches use the
+            # NESTED phase order so every level is a prefix)
+            pair_hi = None
+            if compact_coarse:
+                from ..render import track_coarse_budget
 
-            pair_hi = track_coarse_budget(cache.raw_t.shape[1],
-                                          tcfg.coarse_stride)
-        carry = lax.while_loop(
-            cond_until(n_coarse),
-            make_body(make_grad_fn(ids, gt_tiled[ids], pair_hi)),
-            carry,
-        )
+                pair_hi = track_coarse_budget(cache.raw_t.shape[1], s_l)
+            carry = lax.while_loop(
+                cond_until(consumed + n_l),
+                make_body(make_grad_fn(ids, gt_tiled[ids], pair_hi)),
+                carry,
+            )
+            consumed += n_l
     pose, iters, _, loss, depth_l1 = lax.while_loop(
         cond_until(tcfg.num_iters), make_body(make_grad_fn(None, gt_tiled)),
         carry,
@@ -208,9 +229,17 @@ def mapping_step(
     tile_valid: jnp.ndarray | None = None,
     phase=None,
     coarse_stride: int = 0,
+    frame_exp: jnp.ndarray | None = None,
 ):
     """One mapping iteration: render at a fixed pose, map params live
     (Frontend.mapping / Backend.mapping semantics).
+
+    ``frame_exp``: optional [2] (gain, bias) of the FRAME's frozen
+    exposure; when given, the live ``exposure`` state composes with it
+    exactly like the reference's LocalMap.get_frame_exposure
+    (scene/Frame.py:250-257): A = lm_gain * f_gain,
+    B = lm_gain * f_bias + lm_bias — gradients flow into the live
+    (submap) exposure through the composition.
 
     ``bins``: optionally a precomputed Binning for this (map, pose) —
     callers running several consecutive iterations on one frame reuse it
@@ -237,8 +266,17 @@ def mapping_step(
     gt_sub = gt_tiled if tile_ids is None else gt_tiled[tile_ids]
 
     def loss_fn(params, gain, bias):
-        exp = exposure._replace(gain=gain, bias=bias) \
-            if lcfg.enable_exposure else None
+        if lcfg.enable_exposure:
+            if frame_exp is not None:
+                # composed exposure (Frame.py:250-257): the frame part
+                # is frozen, the submap part (gain, bias) stays live
+                eg = gain * frame_exp[0]
+                eb = gain * frame_exp[1] + bias
+            else:
+                eg, eb = gain, bias
+            exp = exposure._replace(gain=eg, bias=eb)
+        else:
+            exp = None
         # mapping loss reads normals only under use_normal_loss
         # (opts.normals_in_tracking carries that flag)
         out, _ = render_full(params, gm.active, cam, opts, bins=bins,
@@ -420,6 +458,8 @@ def backend_tracking_step(
     opts: RenderOptions,
     tcfg: TrackConfig,
     lcfg: LossConfig,
+    exposure: ExposureState | None = None,
+    frame_exp: jnp.ndarray | None = None,
 ):
     """Backend tracking step: the global map is detached, only the
     submap transform moves (Backend.tracking, Backend.py:81-99).
@@ -429,11 +469,23 @@ def backend_tracking_step(
     submap_w2c), the rotated quaternions are detached, and the camera
     view matrix is the identity — so the pose gradient flows only
     through the means (render/__init__.py:30-39). Re-binned per step
-    (the effective pose moves between steps)."""
+    (the effective pose moves between steps).
+
+    ``exposure``/``frame_exp``: the composed fixed exposure of
+    Backend.tracking (Backend.py:86-92) — applied to the rendered color,
+    detached (only the transform is stepped here, matching the
+    reference, which never steps the exposure optimizer in tracking)."""
     from ..ops.se3 import pose_matrix, quat_multiply, rotmat_to_quat
 
     params = jax.tree.map(lax.stop_gradient, gm.params)
     cam_eye = cam_proj.replace_w2c(jnp.eye(4, dtype=jnp.float32))
+    exp = None
+    if exposure is not None and lcfg.enable_exposure:
+        fe = (frame_exp if frame_exp is not None
+              else jnp.asarray([1.0, 0.0], jnp.float32))
+        exp = jax.tree.map(lax.stop_gradient, exposure._replace(
+            gain=exposure.gain * fe[0],
+            bias=exposure.gain * fe[1] + exposure.bias))
 
     def loss_fn(quat, trans):
         w2c = frame_w2c @ pose_matrix(quat, trans)
@@ -446,7 +498,7 @@ def backend_tracking_step(
         )
         out, bins = render_full(moved, gm.active, cam_eye, opts,
                                 need_normal=opts.normals_in_tracking)
-        loss, aux = tracking_loss(out, gt_tiled, lcfg)
+        loss, aux = tracking_loss(out, gt_tiled, lcfg, exposure=exp)
         return loss, (aux, bins.overflow, bins.n_shrunk)
 
     (loss, (aux, overflow, n_shrunk)), (g_q, g_t) = jax.value_and_grad(
@@ -460,16 +512,18 @@ def backend_tracking_step(
 
 
 def ba_step(gm, pose, frame_w2c, gt_tiled, exposure, cam_proj, opts, mcfg,
-            lcfg, exp_sched):
+            lcfg, exp_sched, frame_exp=None):
     """Backend "ba" op (Backend.py:130-155). NOTE: the reference's
     Renderer_mapping DETACHES fix_w2c (render/__init__.py:60), so despite
     stepping the transform optimizer the pose receives no gradient —
     the op is a mapping step plus an LR-schedule advance on the submap
-    transform. Reproduced faithfully."""
+    transform. Reproduced faithfully. Unlike the mapping task, ba steps
+    the submap exposure UNCONDITIONALLY when enabled (Backend.py:150-153
+    has no mapping_times gate)."""
     gm, exposure, aux = mapping_step(
         gm, frame_w2c @ pose.w2c, gt_tiled, exposure,
         jnp.bool_(lcfg.enable_exposure), exp_sched, cam_proj, opts, mcfg,
-        lcfg,
+        lcfg, frame_exp=frame_exp,
     )
     pose = pose._replace(step=pose.step + 1)
     return gm, pose, exposure, aux

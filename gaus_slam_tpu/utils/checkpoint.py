@@ -64,6 +64,13 @@ def save_run_state(path: str, frontend, backend,
             for i, lm in enumerate(backend.local_maps)
             if lm.transform is not None
         }
+        exposures = {
+            str(i): dict(lm.exposure._asdict())
+            for i, lm in enumerate(backend.local_maps)
+            if lm.exposure is not None
+        }
+        if exposures:
+            state["exposures"] = exposures
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, "arrays"), state, force=True)
     ckptr.wait_until_finished()
@@ -83,6 +90,7 @@ def save_run_state(path: str, frontend, backend,
                 "kfid": int(f.kfid),
                 "est_w2c": np.asarray(f.est_w2c).tolist(),
                 "gt_w2c": np.asarray(f.gt_w2c).tolist(),
+                "est_exposure": [float(x) for x in f.est_exposure],
             } for f in lm.frames],
         })
     meta = {
@@ -189,6 +197,7 @@ def restore_run_state(path: str, frontend, backend, dataset) -> int:
                            gt_w2c=np.asarray(fm["gt_w2c"], np.float32),
                            kfid=fm["kfid"], frame_type=fm["frame_type"])
                 fr.est_w2c = np.asarray(fm["est_w2c"], np.float32)
+                fr.est_exposure = tuple(fm.get("est_exposure", (1.0, 0.0)))
                 frames.append(fr)
             lm = LocalMap(lmid=lmm["lmid"], frames=frames, map_params=None,
                           tracking_ok=lmm["tracking_ok"],
@@ -200,6 +209,13 @@ def restore_run_state(path: str, frontend, backend, dataset) -> int:
             if tr is not None:
                 lm.transform = PoseState(**{
                     k: jnp.asarray(v) for k, v in dict(tr).items()})
+            ex = state.get("exposures", {}).get(str(i)) \
+                if "exposures" in state else None
+            if ex is not None:
+                from ..models.frame import ExposureState
+
+                lm.exposure = ExposureState(**{
+                    k: jnp.asarray(v) for k, v in dict(ex).items()})
             backend.local_maps.add_localmap(lm)
         backend.cur_lmid = len(backend.local_maps) - 1
     return next_idx
