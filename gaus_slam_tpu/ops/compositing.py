@@ -104,10 +104,24 @@ def composite_chunk(
     *,
     use_sa: bool,
     need_normal: bool = True,
+    dtype=jnp.float32,
 ) -> PixelState:
-    """Composite one chunk of G depth-sorted pairs into the pixel state."""
+    """Composite one chunk of G depth-sorted pairs into the pixel state.
+
+    ``dtype``: compute dtype for the per-pair [G, P] elementwise chain
+    (the VPU-bound bulk of the kernel). f32 is the shipped default;
+    bfloat16 runs the geometry/alpha math in half precision with the
+    MXU accumulations and the PixelState kept in f32 (the [G, P] sums
+    upcast their operands). Measured on the attached v5e the VPU runs
+    bf16 elementwise at ~1.05x f32 (tools/bf16_probe.py), so this is an
+    experiment knob, not a default — see PERF.md "precision lever"."""
     f32 = jnp.float32
+    cd = dtype
     G = attrs.shape[0]
+    if cd != f32:
+        attrs = attrs.astype(cd)
+        px = px.astype(cd)
+        py = py.astype(cd)
 
     def col(i):
         return attrs[:, i : i + 1]  # [G, 1]
@@ -144,14 +158,17 @@ def composite_chunk(
     alpha_clamped = alpha_raw - lax.stop_gradient(
         jnp.maximum(alpha_raw - ALPHA_MAX, 0.0)
     )
-    contrib_ok = (
-        pz_ok
-        & (d_raw >= NEAR_N)
-        & (alpha_raw >= ALPHA_MIN)
-        & pair_valid.astype(bool)
-        & (state.done < 0.5)
+    # mask algebra as FLOAT products of exact {0, 1} values rather than
+    # boolean broadcasts: bit-identical in f32 (all factors exact), and
+    # the only form Mosaic can lower for bf16 — broadcasting a [G, 1]
+    # i1 mask against [G, P] bf16 vectors hits an "invalid relayout"
+    # (replicated destination) on this toolchain.
+    contrib_ok = pz_ok & (d_raw >= NEAR_N) & (alpha_raw >= ALPHA_MIN)
+    okf = lax.stop_gradient(
+        contrib_ok.astype(cd)
+        * pair_valid.astype(cd)
+        * (state.done < 0.5).astype(f32).astype(cd)
     )
-    okf = lax.stop_gradient(contrib_ok.astype(f32))
     alpha_eff = alpha_clamped * okf                       # [G, P]
 
     # Early termination: the pixel stops *before* compositing the first
@@ -162,21 +179,27 @@ def composite_chunk(
     # sum (a single triangular matmul on the MXU) suffices for both the
     # transmittance prefix and the termination mask.
     log1ma = jnp.log1p(-alpha_eff)
-    cum_in = _tri_cumsum(log1ma, inclusive=True)          # [G, P]
-    T_in = state.T                                        # [1, P]
+    cum_in = _tri_cumsum(log1ma, inclusive=True)          # [G, P] f32
+    T_in = state.T                                        # [1, P] f32
     # exclusive prefix: all j < i are pre-termination, where eff == accepted
     cum_exc = cum_in - log1ma
-    T_pref = T_in * jnp.exp(cum_exc)                      # T before pair i
+    if cd != f32:
+        # keep the heavy exp + downstream weights in the compute dtype;
+        # the carried transmittance state stays f32
+        T_pref = T_in.astype(cd) * jnp.exp(cum_exc.astype(cd))
+    else:
+        T_pref = T_in * jnp.exp(cum_exc)                  # T before pair i
     # inclusive product = T_pref * (1 - alpha_eff): one exp serves both the
     # prefix transmittance and the termination test (exp is the costliest
     # [G, P] op in the chunk)
-    below = lax.stop_gradient(T_pref * (1.0 - alpha_eff)) < T_EPS
-    trigger = contrib_ok & below
-    accept = contrib_ok & ~below
-    af = lax.stop_gradient(accept.astype(f32))
+    belowf = lax.stop_gradient(
+        (lax.stop_gradient(T_pref * (1.0 - alpha_eff)) < T_EPS).astype(cd))
+    triggerf = okf * belowf                               # {0, 1} exact
+    af = okf * (1.0 - belowf)                             # accepted mask
     alpha_c = alpha_clamped * af
     w = alpha_c * T_pref                                  # [G, P]
-    T_out = T_in * jnp.exp(jnp.sum(log1ma * af, axis=0, keepdims=True))
+    T_out = T_in * jnp.exp(jnp.sum((log1ma * af).astype(f32),
+                                   axis=0, keepdims=True))
 
     # global 1-based contributor indices (CUDA counts every pair in range)
     gidx = (
@@ -185,11 +208,12 @@ def composite_chunk(
     )  # [G, 1]
 
     # median tracking: mm = raw depth of last accepted pair with T_pref > 0.5
-    med_cond = accept & (T_pref > 0.5)
-    mcf = lax.stop_gradient(med_cond.astype(f32))
+    mcf = lax.stop_gradient(
+        af.astype(f32) * (T_pref > 0.5).astype(cd).astype(f32))
     med_idx = jnp.max(gidx * mcf, axis=0, keepdims=True)  # [1, P]; 0 if none
     has_med = med_idx > 0.0
-    mm_new = jnp.sum(d_raw * (gidx == med_idx) * mcf, axis=0, keepdims=True)
+    mm_new = jnp.sum(d_raw * (gidx == med_idx).astype(f32) * mcf,
+                     axis=0, keepdims=True)
     mm_out = jnp.where(has_med, mm_new, state.mm)
     med_contrib_out = jnp.maximum(state.med_contrib, med_idx)
     n_contrib_out = jnp.maximum(
@@ -227,7 +251,8 @@ def composite_chunk(
         exp_std = jnp.maximum(exp_std, 1e-7)
         err = (mm_tgt - dsg) ** 2
         conf = jnp.exp(-err / (4.0 * exp_std))
-        conf = jnp.where((t_sg > 0.5) | (d_pref <= 0.0), 1.0, conf)
+        conf = jnp.where(
+            (t_sg.astype(f32) > 0.5) | (d_pref <= 0.0), 1.0, conf)
         conf = lax.stop_gradient(conf)                    # detached weights
         d_fused = conf * d_raw + (1.0 - conf) * mm_tgt
         dist_add = jnp.zeros_like(state.dist)
@@ -243,14 +268,15 @@ def composite_chunk(
         m2_pref = state.M2 + _tri_cumsum(m2w, inclusive=False)
         A_pref = 1.0 - T_pref
         dist_add = jnp.sum(
-            (m * m * A_pref + m2_pref - 2.0 * m * m1_pref) * w,
+            ((m * m * A_pref + m2_pref - 2.0 * m * m1_pref) * w
+             ).astype(f32),
             axis=0, keepdims=True,
         )
-        m1_add = jnp.sum(mw, axis=0, keepdims=True)
-        m2_add = jnp.sum(m2w, axis=0, keepdims=True)
+        m1_add = jnp.sum(mw.astype(f32), axis=0, keepdims=True)
+        m2_add = jnp.sum(m2w.astype(f32), axis=0, keepdims=True)
 
-    def acc(feat):  # [G, P] -> [1, P]
-        return jnp.sum(feat * w, axis=0, keepdims=True)
+    def acc(feat):  # [G, P] -> [1, P]; accumulate in f32
+        return jnp.sum((feat * w).astype(f32), axis=0, keepdims=True)
 
     # per-gaussian features (color, normal) accumulate via one MXU matmul:
     # out[f, p] = sum_g feat[g, f] * w[g, p]. The normal channels are
@@ -269,7 +295,8 @@ def composite_chunk(
 
     done_out = jnp.maximum(
         state.done,
-        jnp.max(lax.stop_gradient(trigger.astype(f32)), axis=0, keepdims=True),
+        jnp.max(lax.stop_gradient(triggerf.astype(f32)),
+                axis=0, keepdims=True),
     )
 
     return PixelState(

@@ -201,7 +201,8 @@ def _kernel(ids_ref, start_ref, stop_ref, attrs_ref, dstate0_ref, zeros_ref,
 def _kernel_stashed(ids_ref, start_ref, stop_ref, soff_ref, kexit_ref,
                     attrs_ref, dstate0_ref, stash_ref, zeros_ref, dattrs_ref,
                     abuf, asem, srow, ssem, gbuf, gsem_rd, gsem_wr, *,
-                    grid: TileGrid, use_sa: bool, need_normal: bool):
+                    grid: TileGrid, use_sa: bool, need_normal: bool,
+                    dtype=jnp.float32):
     """Reverse sweep only: chunk carries come from the forward's stash
     (raster_forward_stash), so the per-tile re-forward (Phase A) and its
     attr DMAs + compositing work disappear.
@@ -282,6 +283,7 @@ def _kernel_stashed(ids_ref, start_ref, stop_ref, soff_ref, kexit_ref,
         f = functools.partial(
             composite_chunk, px=px, py=py, idx_base=idx_base,
             pair_valid=pair_valid, use_sa=use_sa, need_normal=need_normal,
+            dtype=dtype,
         )
         _, vjp_fn = jax.vjp(f, state_in, attrs)
         d_state_in, d_attrs = vjp_fn(d_state)
@@ -322,7 +324,8 @@ def _kernel_stashed(ids_ref, start_ref, stop_ref, soff_ref, kexit_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret")
+    jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret",
+                              "compute_dtype")
 )
 def raster_backward_stash(
     pair_attrs: jnp.ndarray,   # [ATTR_C, R]
@@ -338,8 +341,9 @@ def raster_backward_stash(
     need_normal: bool = True,
     interpret: bool = False,
     tile_ids: jnp.ndarray | None = None,
+    compute_dtype: str = "f32",
 ) -> jnp.ndarray:
-    from .pallas_forward import _vma_of, stash_offsets
+    from .pallas_forward import _dtype_of, _vma_of, stash_offsets
 
     c, r = pair_attrs.shape
     assert c == ATTR_C and r % CHUNK == 0
@@ -375,7 +379,8 @@ def raster_backward_stash(
         ],
     )
     kernel = functools.partial(_kernel_stashed, grid=grid, use_sa=use_sa,
-                               need_normal=need_normal)
+                               need_normal=need_normal,
+                               dtype=_dtype_of(compute_dtype))
     zeros = jnp.zeros((ATTR_C, r), jnp.float32)
     out_shape = jax.ShapeDtypeStruct(
         (ATTR_C, r), jnp.float32, vma=_vma_of(pair_attrs, d_out)

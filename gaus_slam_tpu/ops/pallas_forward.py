@@ -30,7 +30,8 @@ CHUNK = 128
 
 
 def _kernel(ids_ref, start_ref, stop_ref, attrs_ref, out_ref, abuf, sem, *,
-            grid: TileGrid, use_sa: bool, need_normal: bool):
+            grid: TileGrid, use_sa: bool, need_normal: bool,
+            dtype=jnp.float32):
     i = pl.program_id(0)
     t = ids_ref[i]           # image-tile id (subset-aware; == i when full)
     start = start_ref[i]
@@ -76,7 +77,7 @@ def _kernel(ids_ref, start_ref, stop_ref, attrs_ref, out_ref, abuf, sem, *,
         idx_base = gstart - start + 1                # 1-based in-tile index
         state = composite_chunk(
             state, attrs, px, py, idx_base, pair_valid, use_sa=use_sa,
-            need_normal=need_normal,
+            need_normal=need_normal, dtype=dtype,
         )
         return k + 1, state
 
@@ -93,7 +94,8 @@ def _kernel(ids_ref, start_ref, stop_ref, attrs_ref, out_ref, abuf, sem, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret")
+    jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret",
+                              "compute_dtype")
 )
 def raster_forward(
     pair_attrs: jnp.ndarray,  # [ATTR_C, R] f32, R % 128 == 0
@@ -105,6 +107,7 @@ def raster_forward(
     need_normal: bool = True,
     interpret: bool = False,
     tile_ids: jnp.ndarray | None = None,  # [n_sub] image-tile ids; None=all
+    compute_dtype: str = "f32",
 ) -> jnp.ndarray:
     """Returns tile-major render buffer [n_sub, OUT_C, pixels_per_tile].
 
@@ -133,7 +136,8 @@ def raster_forward(
         ],
     )
     kernel = functools.partial(_kernel, grid=grid, use_sa=use_sa,
-                               need_normal=need_normal)
+                               need_normal=need_normal,
+                               dtype=_dtype_of(compute_dtype))
     out_shape = jax.ShapeDtypeStruct(
         (n_sub, OUT_C, P), jnp.float32, vma=_vma_of(pair_attrs)
     )
@@ -143,6 +147,10 @@ def raster_forward(
         out_shape=out_shape,
         interpret=interpret,
     )(tile_ids, tile_start, tile_stop, pair_attrs)
+
+
+def _dtype_of(compute_dtype: str):
+    return {"f32": jnp.float32, "bf16": jnp.bfloat16}[compute_dtype]
 
 
 def _vma_of(*xs):
@@ -164,7 +172,8 @@ def _vma_of(*xs):
 
 def _kernel_stash(ids_ref, start_ref, stop_ref, soff_ref, attrs_ref, out_ref,
                   stash_ref, kexit_ref, abuf, sem, sbuf, ssem, *,
-                  grid: TileGrid, use_sa: bool, need_normal: bool):
+                  grid: TileGrid, use_sa: bool, need_normal: bool,
+                  dtype=jnp.float32):
     from .pallas_backward import _stash_from_state
 
     i = pl.program_id(0)
@@ -227,7 +236,7 @@ def _kernel_stash(ids_ref, start_ref, stop_ref, soff_ref, attrs_ref, out_ref,
         idx_base = gstart - start + 1
         state = composite_chunk(
             state, attrs, px, py, idx_base, pair_valid, use_sa=use_sa,
-            need_normal=need_normal,
+            need_normal=need_normal, dtype=dtype,
         )
         return k + 1, state
 
@@ -272,7 +281,8 @@ def stash_rows(r: int, num_tiles: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret")
+    jax.jit, static_argnames=("grid", "use_sa", "need_normal", "interpret",
+                              "compute_dtype")
 )
 def raster_forward_stash(
     pair_attrs: jnp.ndarray,
@@ -284,6 +294,7 @@ def raster_forward_stash(
     need_normal: bool = True,
     interpret: bool = False,
     tile_ids: jnp.ndarray | None = None,
+    compute_dtype: str = "f32",
 ):
     """Forward + per-chunk carry stash for the Phase-A-free backward.
 
@@ -322,7 +333,8 @@ def raster_forward_stash(
         ],
     )
     kernel = functools.partial(_kernel_stash, grid=grid, use_sa=use_sa,
-                               need_normal=need_normal)
+                               need_normal=need_normal,
+                               dtype=_dtype_of(compute_dtype))
     vma = _vma_of(pair_attrs)
     out, stash, kexit = pl.pallas_call(
         kernel,

@@ -34,6 +34,9 @@ class RenderSettings(NamedTuple):
     use_sa: bool = True
     backend: str = "pallas"  # pallas | interpret | reference
     need_normal: bool = True  # gate normal accumulation + its grad paths
+    # compute dtype of the kernels' per-pair elementwise chain
+    # ("f32" | "bf16"); see compositing.composite_chunk(dtype=...)
+    compute_dtype: str = "f32"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -77,6 +80,7 @@ def _forward(pair_attrs, tile_start, tile_stop, tile_ids, settings):
         need_normal=settings.need_normal,
         interpret=(settings.backend == "interpret"),
         tile_ids=tile_ids,
+        compute_dtype=settings.compute_dtype,
     )
 
 
@@ -96,6 +100,7 @@ def _fwd(pair_attrs, tile_start, tile_stop, tile_ids, settings):
         need_normal=settings.need_normal,
         interpret=(settings.backend == "interpret"),
         tile_ids=tile_ids,
+        compute_dtype=settings.compute_dtype,
     )
     return out, (pair_attrs, tile_start, tile_stop, tile_ids, out, stash,
                  kexit)
@@ -121,6 +126,7 @@ def _bwd(settings, res, d_out):
             need_normal=settings.need_normal,
             interpret=(settings.backend == "interpret"),
             tile_ids=tile_ids,
+            compute_dtype=settings.compute_dtype,
         )
     # inside shard_map the cotangent must carry the primal's
     # varying-across-mesh axes

@@ -253,3 +253,64 @@ def test_run_reduce_equals_slab_reduce():
     fast = np.asarray(bins._run_reduce(pair_grads, n, d_max))
     slab = np.asarray(bins._slab_reduce(pair_grads, n, d_max))
     np.testing.assert_allclose(fast, slab, atol=1e-4)
+
+
+@pytest.mark.parametrize("use_sa", [False, True])
+def test_bf16_compute_dtype_parity(use_sa):
+    """The bf16 compute-dtype path (RenderOptions.compute_dtype="bf16":
+    per-pair elementwise chain in bfloat16, MXU + state accumulation in
+    f32) must track the f32 kernel within bf16 rounding — values to
+    ~1%, gradients to a few % of the gradient scale — and preserve the
+    exact zero structure (pairs outside every tile range contribute
+    exactly zero in both)."""
+    cam = make_cam(32, 32)
+    attrs_t, bins, grid = build(jax.random.PRNGKey(3), 220, cam, r_max=768)
+    dw = random_cotangent(jax.random.PRNGKey(4), grid, grid.num_tiles)
+    s32 = RenderSettings(grid=grid, use_sa=use_sa, backend="interpret")
+    s16 = s32._replace(compute_dtype="bf16")
+
+    def loss(a, st):
+        pattrs = expand_pairs(a, bins, bins.num_tiles_touched)
+        out = render_pairs(pattrs, bins.tile_start, bins.tile_stop, None,
+                           st)
+        return jnp.sum(out * dw), out
+
+    (v32, o32), g32 = jax.value_and_grad(loss, has_aux=True)(attrs_t, s32)
+    (v16, o16), g16 = jax.value_and_grad(loss, has_aux=True)(attrs_t, s16)
+    assert o16.dtype == jnp.float32 and g16.dtype == jnp.float32
+    # rendered channels within bf16 rounding of the f32 dynamic range
+    # (bf16 has ~3 significant digits; errors compound through the
+    # alpha/transmittance chain, and THRESHOLD channels — the median
+    # depth's T > 0.5 crossing — flip discretely for borderline pixels,
+    # so the bound is quantile-based: 99% of pixels tight, mean tighter.
+    # These measured errors are exactly why bf16 is an experiment knob,
+    # not a default.)
+    for c in range(9):
+        sc = np.maximum(np.abs(np.asarray(o32[:, c])).max(), 1e-3)
+        err = np.abs(np.asarray(o16[:, c]) - np.asarray(o32[:, c])) / sc
+        q99_tol = 12e-2 if c == 8 else 6e-2  # median-threshold channel
+        assert np.quantile(err, 0.99) < q99_tol, (c, np.quantile(err, 0.99))
+        assert err.mean() < 1.5e-2, (c, err.mean())
+    # channel 9 (distortion) is a CANCELLING statistic (sum of nearly
+    # equal m^2*A + M2 - 2*m*M1 terms, ~ pairwise (m_i - m_j)^2): under
+    # bf16 rounding its relative error reaches O(1) — measured MEAN
+    # error ~0.40 of the channel scale in the non-sa ablation mode,
+    # ~0.1 in sa mode. This is the central measured reason bf16 cannot
+    # ship as a default (PERF.md precision lever); the bound here only
+    # pins that the breakage stays in this channel while everything the
+    # tracking loss consumes (checked tightly above) survives.
+    sc9 = np.maximum(np.abs(np.asarray(o32[:, 9])).max(), 1e-3)
+    err9 = np.abs(np.asarray(o16[:, 9]) - np.asarray(o32[:, 9])) / sc9
+    assert err9.mean() < 0.6, err9.mean()
+    np.testing.assert_allclose(float(v16), float(v32), rtol=5e-2)
+    g32n, g16n = np.asarray(g32), np.asarray(g16)
+    sc = np.maximum(np.abs(g32n).max(), 1e-3)
+    gerr = np.abs(g16n - g32n) / sc
+    # gradient error includes the dist-channel cancellation above
+    assert np.quantile(gerr, 0.99) < 0.15, np.quantile(gerr, 0.99)
+    assert gerr.mean() < 3e-2, gerr.mean()
+    # zero structure mostly preserved (borderline alpha-threshold flips
+    # under bf16 rounding may toggle a handful of contributors)
+    mismatch = np.mean((g32n == 0.0) != (g16n == 0.0))
+    assert mismatch < 0.01, mismatch
+    assert float(jnp.abs(g16).max()) > 0.0
