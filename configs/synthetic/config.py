@@ -36,11 +36,21 @@ config = dict(
     frontend=dict(
         num_tracking_iters=num_tracking_iter,
         num_mapping_iters=num_mapping_iters,
-        converged_th=5e-4,
+        # reference Replica profile disables the early exit (-1);
+        # the synthetic default keeps it (quality-validated)
+        converged_th=float(os.environ.get("SYN_CONV_TH", 5e-4)),
         # coarse-to-fine tracking: first iterations render a stride-2
         # tile checkerboard (1/4 the kernel work) from the same pair cache
         coarse_iters=int(os.environ.get("COARSE_ITERS", 18)),
         coarse_stride=int(os.environ.get("COARSE_STRIDE", 2)),
+        # pyramid coarse schedule "i1xs1,i2xs2" (e.g. "10x4,14x2"):
+        # multiple nested coarse levels from one phase-major cache;
+        # supersedes coarse_iters/coarse_stride when set
+        coarse_levels=[
+            tuple(int(v) for v in lvl.split("x"))
+            for lvl in os.environ.get("COARSE_LEVELS", "").split(",")
+            if lvl
+        ],
         # re-bin the tracking pair cache once mid-loop (after the coarse
         # phase) at the updated pose — A/B knob for the cache-staleness
         # question (reference re-bins every iteration)
@@ -136,6 +146,13 @@ config = dict(
         ),
     ),
     tpu=dict(
+        # backend BA mesh: "auto" shards covis mapping over every
+        # attached device (parallel/ba.py) when more than one exists;
+        # an int pins the device count; "off" forces single-device
+        mesh_devices=os.environ.get("MESH_DEVICES", "auto"),
+        # kernel elementwise compute dtype: "f32" (default) | "bf16"
+        # (experiment knob — measured ~1.05x on the v5e VPU, PERF.md)
+        compute_dtype=os.environ.get("COMPUTE_DTYPE", "f32"),
         pair_budget_factor=float(os.environ.get("PAIR_BUDGET", 1.75)),
         # the frontend's active count is bounded by tau_l while its
         # capacity floor covers tau_l*margin, so its pair budget can sit

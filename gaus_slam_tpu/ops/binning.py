@@ -255,13 +255,36 @@ def gaussian_rects(pre: PreprocResult, grid: TileGrid):
     return x0, y0, w, counts
 
 
-def phase_tables(grid: TileGrid, stride: int):
+def phase_positions(stride: int, nested: bool) -> np.ndarray:
+    """pos_of_phase [s^2]: position of checkerboard phase (oy*s + ox) in
+    the phase-major global order.
+
+    Plain order (nested=False) is the identity (row-major phases).
+    ``nested`` (even strides; one nesting level, i.e. strides 2 and 4)
+    orders phases by ((oy%2, ox%2), (oy//2, ox//2)) so every
+    power-of-2-coarser checkerboard is a PREFIX of the order:
+    at stride 4, position 0 is the stride-4 phase (0,0) and positions
+    0..3 are exactly the stride-2 checkerboard — which lets pyramid
+    (multi-level) coarse tracking slice each level's pairs as a head
+    block of one cache."""
+    s = stride
+    if not nested:
+        return np.arange(s * s)
+    assert s % 2 == 0 and s <= 4, "nested phase order needs stride 2 or 4"
+    h = s // 2
+    oy, ox = np.divmod(np.arange(s * s), s)
+    return (((oy % 2) * 2 + (ox % 2)) * h * h
+            + (oy // 2) * h + (ox // 2))
+
+
+def phase_tables(grid: TileGrid, stride: int, nested: bool = False):
     """Static phase-major tile tables for a stride-s checkerboard.
 
     phase(tile) = (ty % s) * s + (tx % s); the phase-major RANK orders
-    tiles by (phase, row-major within phase). Returns
-    (rank_of_tile [T] np.int32, base [s^2+1] np.int64 cumulative tile
-    counts per phase) — both static numpy (they depend only on the
+    tiles by (phase position, row-major within phase) with positions
+    from ``phase_positions``. Returns (rank_of_tile [T] np.int32,
+    base [s^2+1] np.int64 cumulative tile counts per POSITION,
+    pos_of_phase [s^2]) — all static numpy (they depend only on the
     grid shape and stride, never on data)."""
     s = stride
     ty, tx = np.divmod(np.arange(grid.tiles_y * grid.tiles_x),
@@ -270,17 +293,21 @@ def phase_tables(grid: TileGrid, stride: int):
     phase = oy * s + ox
     ny = -(-(grid.tiles_y - np.arange(s)) // s)   # tiles with ty%s == oy
     nx = -(-(grid.tiles_x - np.arange(s)) // s)
-    sizes = (ny[:, None] * nx[None, :]).reshape(-1)
-    base = np.concatenate([[0], np.cumsum(sizes)])
-    rank = base[phase] + (ty // s) * nx[ox] + tx // s
-    return rank.astype(np.int32), base.astype(np.int64)
+    sizes = (ny[:, None] * nx[None, :]).reshape(-1)  # by phase id
+    pos = phase_positions(s, nested)
+    sizes_by_pos = np.zeros_like(sizes)
+    sizes_by_pos[pos] = sizes
+    base = np.concatenate([[0], np.cumsum(sizes_by_pos)])
+    rank = base[pos[phase]] + (ty // s) * nx[ox] + tx // s
+    return rank.astype(np.int32), base.astype(np.int64), pos
 
 
-def _phase_rank_expr(tile, grid: TileGrid, stride: int, base: np.ndarray):
-    """Elementwise tile-id -> (phase-major rank, phase). Pure VPU int
-    arithmetic + an s^2-way select chain for the static base table —
-    no gathers (a [D, N]-element gather from a table would cost more
-    than the whole binning)."""
+def _phase_rank_expr(tile, grid: TileGrid, stride: int, base: np.ndarray,
+                     pos: np.ndarray):
+    """Elementwise tile-id -> (phase-major rank, phase POSITION). Pure
+    VPU int arithmetic + an s^2-way select chain for the static base
+    table — no gathers (a [D, N]-element gather from a table would cost
+    more than the whole binning)."""
     s = stride
     ty = tile // grid.tiles_x
     tx = tile - ty * grid.tiles_x
@@ -289,12 +316,14 @@ def _phase_rank_expr(tile, grid: TileGrid, stride: int, base: np.ndarray):
     nx = [-(-(grid.tiles_x - o) // s) for o in range(s)]
     nx_ox = jnp.zeros_like(tile)
     b = jnp.zeros_like(tile)
+    pv = jnp.zeros_like(tile)
     for o in range(s):
         nx_ox = jnp.where(ox == o, np.int32(nx[o]), nx_ox)
     for p in range(s * s):
-        b = jnp.where(phase == p, np.int32(base[p]), b)
+        b = jnp.where(phase == p, np.int32(base[pos[p]]), b)
+        pv = jnp.where(phase == p, np.int32(pos[p]), pv)
     rank = b + (ty // s) * nx_ox + tx // s
-    return rank, phase
+    return rank, pv
 
 
 def bin_gaussians(
@@ -304,6 +333,7 @@ def bin_gaussians(
     max_tiles_per_gaussian: int = 16,
     reduce_perm: bool = False,
     phase_stride: int = 0,
+    phase_nested: bool = False,
 ) -> Binning:
     """Gather-free slab expansion.
 
@@ -351,10 +381,13 @@ def bin_gaussians(
         # depth) via a static tile->rank remap — same sort, different
         # key, so the phase-major layout is FREE at bin time. Per-tile
         # ranges stay contiguous; only their global placement moves.
+        # ``phase_nested`` orders the phases so coarser power-of-2
+        # checkerboards are prefixes (pyramid tracking; phase_positions).
         n_phase = phase_stride * phase_stride
-        rank_np, base_np = phase_tables(grid, phase_stride)
+        rank_np, base_np, pos_np = phase_tables(grid, phase_stride,
+                                                nested=phase_nested)
         sort_tile, slab_ph = _phase_rank_expr(tile, grid, phase_stride,
-                                              base_np)
+                                              base_np, pos_np)
         slab_phase = jnp.where(live, slab_ph, n_phase).astype(jnp.int32)
     else:
         sort_tile = tile

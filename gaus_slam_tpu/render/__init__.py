@@ -50,6 +50,11 @@ class RenderOptions(NamedTuple):
     normals_in_tracking: bool = False  # loss.use_normal_loss
     method: str = "2dgs"          # "2dgs" surfels | "3dgs" volumetric
     iso3d: bool = False           # gaussian_distribution == isotropic
+    # kernel elementwise compute dtype ("f32" | "bf16"). bf16 is an
+    # experiment knob: measured ~1.05x VPU elementwise on v5e
+    # (tools/bf16_probe.py) with real depth-precision risk — see
+    # PERF.md "precision lever"
+    compute_dtype: str = "f32"
 
     def settings(self, need_normal: bool = True) -> RenderSettings:
         # surface-aware depth fusion is a 2dgs-rasterizer feature; the
@@ -57,6 +62,7 @@ class RenderOptions(NamedTuple):
         return RenderSettings(
             grid=self.grid, use_sa=self.use_sa and self.method == "2dgs",
             backend=self.backend, need_normal=need_normal,
+            compute_dtype=self.compute_dtype,
         )
 
     def r_max(self, n: int) -> int:
@@ -364,10 +370,12 @@ class PairCache(NamedTuple):
         return self.raw_t[10:13]
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "coarse_stride"))
+@functools.partial(
+    jax.jit, static_argnames=("opts", "coarse_stride", "coarse_strides"))
 def bin_for_tracking(
     gm: GaussianMap, cam0: Camera, opts: RenderOptions,
     coarse_stride: int = 0,
+    coarse_strides: tuple = (),
 ) -> PairCache:
     """Binning + raw-param pair expansion at the tracking init pose.
     One compiled program (see render_view note on dispatch latency).
@@ -387,19 +395,45 @@ def bin_for_tracking(
     compositor's 128-lane accumulation chunks — ulp-level drift).
     A phase-0 block outgrowing its budget reports through ``overflow``
     and escalates like any pair-budget overflow.
+
+    ``coarse_strides`` (coarse -> fine, e.g. (4, 2) for the pyramid
+    tracking schedule) generalizes this to MULTIPLE coarse levels from
+    ONE cache: the binning is phase-major at the coarsest stride with
+    the NESTED phase order (binning.phase_positions), so every level's
+    checkerboard is a head prefix and slices at its own
+    ``track_coarse_budget``. Supersedes ``coarse_stride`` when given.
     """
     params = jax.tree.map(lax.stop_gradient, gm.params)
     xyz, scales, quats, opac, rgb = _activated(params, gm.active)
     _, summary = _prep_attrs(params, gm.active, cam0, opts)  # attrs DCE'd
+    r_max = opts.r_max(xyz.shape[0])
+    strides = tuple(s for s in (coarse_strides or
+                                ((coarse_stride,) if coarse_stride > 1
+                                 else ())) if s > 1)
+    sb = strides[0] if strides else 0
+    if len(strides) > 1:
+        assert all(strides[i] % strides[i + 1] == 0
+                   for i in range(len(strides) - 1)), strides
     bins = B.bin_gaussians(
-        summary, opts.grid, r_max=opts.r_max(xyz.shape[0]),
+        summary, opts.grid, r_max=r_max,
         max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
-        phase_stride=coarse_stride if coarse_stride > 1 else 0,
+        phase_stride=sb,
+        phase_nested=len(strides) > 1,
     )
+    # INVARIANT (tracking_loop recomputes the coarse pair budget from
+    # cache.raw_t.shape[1]): the pair array length must equal the r_max
+    # this overflow check keys off, or the coarse slice could silently
+    # drop live phase-0 pairs without the diagnostic firing.
+    assert bins.pair_gauss.shape[0] == r_max, \
+        (bins.pair_gauss.shape, r_max)
     overflow = bins.overflow
-    if coarse_stride > 1:
-        r_p0 = track_coarse_budget(opts.r_max(xyz.shape[0]), coarse_stride)
-        overflow = overflow | (bins.phase_start[1] > r_p0)
+    for s_l in strides:
+        # each level's checkerboard occupies the first (sb/s_l)^2 phase
+        # blocks (prefix property of the nested order); its compact
+        # slice budget must hold them all
+        n_pfx = (sb // s_l) ** 2
+        r_l = track_coarse_budget(r_max, s_l)
+        overflow = overflow | (bins.phase_start[n_pfx] > r_l)
     # ONE fused row-gather for all raw fields (row gathers are
     # latency-bound per row on TPU, so 1 wide gather beats 5 narrow ones)
     opac_act = jnp.where(gm.active, opac, 0.0)
@@ -435,17 +469,27 @@ def render_tracking(
     phase-major (``bin_for_tracking(coarse_stride=s)``) and ``tile_ids``
     is the coarse phase-0 tile set, whose pairs occupy exactly that head
     block. The per-iteration pose move + preprocess + pose-gradient
-    reduction then run on O(r_max/s^2) rows. Under phase-0 overflow the
-    clipped tiles render partially (the cache's overflow diagnostic has
-    already reported, and escalation re-bins with a bigger budget).
+    reduction then run on O(r_max/s^2) rows. Under phase-0 overflow any
+    tile whose pair range extends past the slice renders EMPTY (the
+    loss's alpha/depth masks then exclude it), so an overflowed frame
+    degrades to fewer coarse tiles instead of corrupted ones — the same
+    behavior as the coarse-mapping path's tile_valid masking. The
+    cache's overflow diagnostic has already reported, and escalation
+    re-bins with a bigger budget.
     """
     from ..ops.se3 import pose_matrix, quat_normalize
 
     if pair_hi is not None and pair_hi < cache.raw_t.shape[1]:
+        start_c = jnp.minimum(cache.tile_start, pair_hi)
+        # a tile clipped by the slice would composite a truncated pair
+        # list and feed biased pose gradients for the whole frame until
+        # escalation re-bins — mask it empty instead
+        stop_c = jnp.where(cache.tile_stop <= pair_hi,
+                           cache.tile_stop, start_c)
         cache = cache._replace(
             raw_t=cache.raw_t[:, :pair_hi],
-            tile_start=jnp.minimum(cache.tile_start, pair_hi),
-            tile_stop=jnp.minimum(cache.tile_stop, pair_hi),
+            tile_start=start_c,
+            tile_stop=stop_c,
         )
     w2c = pose_matrix(pose_quat, pose_trans)
     q = quat_normalize(pose_quat)

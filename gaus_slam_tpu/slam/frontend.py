@@ -195,6 +195,21 @@ class Frontend:
         self.total_time = 0.0
 
     # ------------------------------------------------------------------
+    def _track_strides(self) -> tuple:
+        """Phase-major strides for the tracking pair cache (coarse ->
+        fine; () = plain tile-major): non-empty only when the tracking
+        loop will actually run coarse levels AND the compact slice is
+        enabled. Must mirror tracking_loop's own gate (steps.py): with
+        the reference backend the coarse phase is skipped, so a
+        phase-major cache would only buy f32 accumulation-order drift
+        on the supposedly reference-exact path (plus pointless phase-0
+        overflow escalations) for no benefit."""
+        tf = self.sys.track_front
+        if (not self.compact_coarse_track
+                or self.sys.opts.backend == "reference"):
+            return ()
+        return tuple(s for _, s in tf.levels() if s > 1)
+
     def _capacity_for(self, n: int) -> int:
         return G.bucket_capacity(n, self.capacity_quantum,
                                  self.capacity_margin, self.capacity_floor)
@@ -262,31 +277,27 @@ class Frontend:
         enables the next frame's speculation (see tracking_loop)."""
         s = self.sys
         t0 = time.perf_counter()
-        # phase-major cache stride: set whenever the loop will run a
-        # coarse phase AND the compact slice is enabled
-        tf = s.track_front
-        stride = (tf.coarse_stride
-                  if self.compact_coarse_track and tf.coarse_iters > 0
-                  and tf.coarse_stride > 1 else 0)
+        strides = self._track_strides()
         if spec_cache is not None:
             cache = spec_cache
         else:
             cam0 = s.cam.replace_w2c(_pose_w2c(frame.pose))
             cache = bin_for_tracking(self.map, cam0, s.opts,
-                                     coarse_stride=stride)
+                                     coarse_strides=strides)
         if os.environ.get("GAUS_PROFILE"):
             _sync(cache.raw_t)
             t_bin = time.perf_counter() - t0
         tcfg = s.track_front
         iters_pre = None
         diag_pre = None
-        if self.tracking_refresh and 0 < tcfg.coarse_iters < tcfg.num_iters:
+        n_coarse = min(sum(i for i, _ in tcfg.levels()), tcfg.num_iters)
+        if self.tracking_refresh and 0 < n_coarse < tcfg.num_iters:
             # phase 1 (coarse) on the init-pose cache, then re-bin at the
             # updated pose and run the full-res phase on a fresh cache
             pose, aux1 = tracking_loop(
                 cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
-                tcfg._replace(num_iters=tcfg.coarse_iters), s.lcfg,
-                compact_coarse=stride > 1,
+                tcfg._replace(num_iters=n_coarse), s.lcfg,
+                compact_coarse=bool(strides),
             )
             # the init-pose cache's binning diagnostics must reach the
             # escalation ladder too — a transient overflow in phase 1
@@ -297,15 +308,16 @@ class Frontend:
             frame.pose = pose
             iters_pre = aux1["iters"]
             tcfg = tcfg._replace(
-                num_iters=tcfg.num_iters - tcfg.coarse_iters, coarse_iters=0)
-            stride = 0  # fresh cache is tile-major; no coarse phase left
+                num_iters=tcfg.num_iters - n_coarse, coarse_iters=0,
+                coarse_levels=())
+            strides = ()  # fresh cache is tile-major; no coarse left
         predict = (self.speculative_bin and prev_pose is not None)
         pose, aux = tracking_loop(
             cache, frame.pose, self._tile_gt(frame), s.cam, s.opts,
             tcfg, s.lcfg, want_view=want_view,
             prev_pose=prev_pose if predict else None,
             predict=predict, use_vel=self.vel_pose_init,
-            compact_coarse=stride > 1,
+            compact_coarse=bool(strides),
         )
         frame.pose = pose
         # ONE fused readback for everything the host needs this frame
@@ -334,10 +346,7 @@ class Frontend:
             fetch["pred_w2c"] = aux["pred_w2c"]
             spec_next = bin_for_tracking(
                 self.map, s.cam.replace_w2c(aux["pred_w2c"]), s.opts,
-                coarse_stride=(tf.coarse_stride
-                               if self.compact_coarse_track
-                               and tf.coarse_iters > 0
-                               and tf.coarse_stride > 1 else 0))
+                coarse_strides=self._track_strides())
         ts0 = time.perf_counter()
         host = jax.device_get(fetch)
         # device-drain wait vs host dispatch split (bench reporting)

@@ -134,6 +134,7 @@ class SystemConfig:
             normals_in_tracking=bool(
                 config["loss"].get("use_normal_loss", False)),
             method=method,
+            compute_dtype=str(tpu.get("compute_dtype", "f32")),
             iso3d=config["gaussians"].get(
                 "gaussian_distribution", "anisotropic") == "isotropic",
         )
@@ -187,6 +188,11 @@ class SystemConfig:
             betas=betas,
             coarse_iters=int(fr.get("coarse_iters", 0)),
             coarse_stride=int(fr.get("coarse_stride", 2)),
+            # pyramid schedule, e.g. [[10, 4], [14, 2]] — supersedes
+            # coarse_iters/coarse_stride (see TrackConfig.coarse_levels)
+            coarse_levels=tuple(
+                (int(i), int(s))
+                for i, s in (fr.get("coarse_levels") or ())),
         )
         track_back = TrackConfig(
             num_iters=nb,

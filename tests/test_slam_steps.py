@@ -517,3 +517,102 @@ def test_phase_reduce_matches_numpy_oracle(scene):
                 want[pair_gauss[i]] += d_pairs[i - p0_al]
             np.testing.assert_allclose(got, want, atol=1e-4,
                                        err_msg=f"s{stride} p{p}")
+
+
+def test_nested_phase_binning_prefix_property(scene):
+    """Nested phase-major binning (pyramid tracking, stride 4): every
+    tile's pair list is unchanged, the stride-4 checkerboard occupies
+    phase block 0, and the stride-2 checkerboard occupies exactly the
+    first FOUR phase blocks (binning.phase_positions prefix property)."""
+    from gaus_slam_tpu.ops.binning import bin_gaussians, phase_positions
+    from gaus_slam_tpu.render import bin_full
+    from gaus_slam_tpu.slam.steps import _coarse_tile_ids
+
+    ds, cam, grid, opts, lcfg, frames = scene
+    color0, depth0, w2c0 = frames[0]
+    gm = initialize_map(CAP, color0, depth0, w2c0, cam)
+    cam_p = cam.replace_w2c(w2c0)
+    b0 = bin_full(gm.params, gm.active, cam_p, opts)
+
+    from gaus_slam_tpu.ops.preprocess import preprocess_t
+
+    _, summary = preprocess_t(
+        gm.params.xyz.T, jnp.exp(gm.params.log_scales.T),
+        gm.params.quats.T, jax.nn.sigmoid(gm.params.opacity_logit[:, 0]),
+        gm.params.rgb.T, cam_p, active=gm.active)
+    bp = bin_gaussians(summary, grid,
+                       r_max=opts.r_max(gm.params.xyz.shape[0]),
+                       max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
+                       phase_stride=4, phase_nested=True)
+    assert not bool(bp.overflow)
+
+    # per-tile pair lists identical to the tile-major binning
+    s0, s1 = np.asarray(b0.tile_start), np.asarray(b0.tile_stop)
+    p0, p1 = np.asarray(bp.tile_start), np.asarray(bp.tile_stop)
+    g0, gp = np.asarray(b0.pair_gauss), np.asarray(bp.pair_gauss)
+    for t in range(grid.num_tiles):
+        np.testing.assert_array_equal(
+            g0[s0[t]:s1[t]], gp[p0[t]:p1[t]], err_msg=f"tile {t}")
+
+    ph = np.asarray(bp.phase_start)
+    # prefix property: stride-4 tiles inside block 0, stride-2 tiles
+    # inside blocks 0..3
+    for s_l, n_pfx in ((4, 1), (2, 4)):
+        ids = np.asarray(_coarse_tile_ids(grid, s_l))
+        hi = ph[n_pfx]
+        live = [t for t in ids if p1[t] > p0[t]]
+        assert all(p1[t] <= hi for t in live), (s_l, hi)
+        # and the prefix contains ONLY those tiles' pairs
+        others = np.setdiff1d(np.arange(grid.num_tiles), ids)
+        assert all(p0[t] >= hi for t in others
+                   if p1[t] > p0[t]), (s_l, hi)
+
+    # nested positions: a permutation with the documented prefix heads
+    pos = phase_positions(4, True)
+    assert sorted(pos.tolist()) == list(range(16))
+    assert pos[0] == 0                      # phase (0,0) leads
+    assert sorted(pos[[0, 2, 8, 10]].tolist()) == [0, 1, 2, 3]
+
+
+def test_tracking_pyramid_compact_matches_full(scene, mapped):
+    """Pyramid coarse tracking ((k1, 4), (k2, 2)) from one nested
+    phase-major cache must match the same schedule run uncompacted from
+    a tile-major cache up to f32 accumulation-order drift (each level's
+    sliced-off pairs contribute exactly zero gradient)."""
+    from gaus_slam_tpu.render import track_coarse_budget
+
+    ds, cam, grid, opts, lcfg, frames = scene
+    gm, _ = mapped
+    color1, depth1, w2c1 = frames[1]
+    w2c0 = frames[0][2]
+    gt = gt_tiles(color1, depth1, grid)
+    tcfg = TrackConfig(
+        num_iters=30, converged_th=-1.0,
+        rot_sched=LrSchedule(8e-4, 8e-5, 60),
+        trans_sched=LrSchedule(4e-3, 4e-4, 60),
+        coarse_levels=((8, 4), (12, 2)),
+    )
+    cam0 = cam.replace_w2c(w2c0)
+    cache_p = bin_for_tracking(gm, cam0, opts, coarse_strides=(4, 2))
+    assert not bool(cache_p.overflow)
+    from gaus_slam_tpu.slam.steps import _coarse_tile_ids
+
+    r = cache_p.raw_t.shape[1]
+    for s_l in (4, 2):
+        ids = np.asarray(_coarse_tile_ids(grid, s_l))
+        stops = np.asarray(cache_p.tile_stop[ids])
+        assert stops.max() <= track_coarse_budget(r, s_l), s_l
+
+    pose_c, aux_c = tracking_loop(cache_p, init_pose(w2c0), gt, cam, opts,
+                                  tcfg, lcfg, compact_coarse=True)
+    cache_f = bin_for_tracking(gm, cam0, opts)
+    pose_f, aux_f = tracking_loop(cache_f, init_pose(w2c0), gt, cam, opts,
+                                  tcfg, lcfg, compact_coarse=False)
+    assert int(aux_c["iters"]) == int(aux_f["iters"]) == 30
+    step_scale = float(jnp.linalg.norm(pose_f.trans - w2c0[:3, 3])) + 1e-6
+    drift = float(jnp.linalg.norm(pose_c.trans - pose_f.trans))
+    assert drift < 0.15 * step_scale + 1e-5, (drift, step_scale)
+    # and the pyramid still tracks: closer to gt than the init pose
+    t_err0 = float(jnp.linalg.norm(w2c0[:3, 3] - w2c1[:3, 3]))
+    t_err = float(jnp.linalg.norm(pose_c.w2c[:3, 3] - w2c1[:3, 3]))
+    assert t_err < 0.6 * t_err0, (t_err0, t_err)
