@@ -67,7 +67,15 @@ def rgbd_slam(config: dict, backend: str = "pallas",
     to_backend = queue.Queue()
     frontend = Frontend(config, to_backend, wandb_run=wandb_run,
                         backend=backend)
-    backend_ = Backend(config, wandb_run=wandb_run, backend=backend)
+    # multi-device host: shard the backend's BA over a mesh
+    # (tpu.mesh_devices knob; None on single-chip hosts)
+    from gaus_slam_tpu.parallel import mesh_from_config
+
+    mesh = mesh_from_config(config)
+    if mesh is not None:
+        print(f"[gaus] backend BA sharded over {mesh.devices.size} devices")
+    backend_ = Backend(config, wandb_run=wandb_run, backend=backend,
+                       mesh=mesh)
 
     out_dir = config.get("vis_base_dir", "output")
     save_ckpt = bool(config.get("backend", {}).get("save_ckpt", False))

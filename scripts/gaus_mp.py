@@ -84,7 +84,13 @@ def rgbd_slam(config: dict, backend: str = "pallas",
     wandb_run = make_wandb_run(config)
     frontend = Frontend(config, to_backend, wandb_run=wandb_run,
                         backend=backend)
-    backend_ = Backend(config, wandb_run=wandb_run, backend=backend)
+    from gaus_slam_tpu.parallel import mesh_from_config
+
+    mesh = mesh_from_config(config)
+    if mesh is not None:
+        print(f"[gaus] backend BA sharded over {mesh.devices.size} devices")
+    backend_ = Backend(config, wandb_run=wandb_run, backend=backend,
+                       mesh=mesh)
     sleep_time = float(config["backend"].get("sleep_time", 0.01))
     out_dir = config.get("vis_base_dir", "output")
     save_ckpt = bool(config.get("backend", {}).get("save_ckpt", False))

@@ -37,6 +37,12 @@ def pytest_collection_modifyitems(config, items):
         if "tpu" in item.keywords and not on_tpu:
             item.add_marker(skip_tpu)
 
+# Unit tests run with 8 VIRTUAL cpu devices (above) — without this the
+# drivers' tpu.mesh_devices="auto" would shard every e2e test's backend
+# over the virtual mesh, changing schedules and runtimes. The dedicated
+# mesh tests (test_parallel, test_mesh_e2e) opt in explicitly.
+os.environ.setdefault("MESH_DEVICES", "off")
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
