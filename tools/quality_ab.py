@@ -17,7 +17,7 @@ markdown table on stdout for PERF.md.
 
 Usage:
   python tools/quality_ab.py --seeds 0 1 2 --frames 100 \
-      --out output/quality_ab.json [--variants default coarse0 ...]
+      --out artifacts/quality_ab.jsonl [--variants default coarse0 ...]
 """
 from __future__ import annotations
 
@@ -133,7 +133,7 @@ def main():
     ap.add_argument("--height", type=int, default=340)
     ap.add_argument("--width", type=int, default=600)
     ap.add_argument("--variants", nargs="+", default=list(VARIANTS))
-    ap.add_argument("--out", default="output/quality_ab.json")
+    ap.add_argument("--out", default="artifacts/quality_ab.jsonl")
     ap.add_argument("--summarize-only", action="store_true",
                     help="print the aggregate table from --out and exit "
                          "(no TPU client; safe while a sweep is running)")
