@@ -112,9 +112,12 @@ def composite_chunk(
     (the VPU-bound bulk of the kernel). f32 is the shipped default;
     bfloat16 runs the geometry/alpha math in half precision with the
     MXU accumulations and the PixelState kept in f32 (the [G, P] sums
-    upcast their operands). Measured on the attached v5e the VPU runs
-    bf16 elementwise at ~1.05x f32 (tools/bf16_probe.py), so this is an
-    experiment knob, not a default — see PERF.md "precision lever"."""
+    upcast their operands). MEASURED DEAD END, kept as the record: the
+    v5e VPU runs bf16 elementwise at ~1.05x f32 (tools/bf16_probe.py),
+    the distortion statistic loses O(1) accuracy to cancellation, and
+    v5e Mosaic cannot lower bf16 comparisons at all ("Target does not
+    support this comparison") — so the bf16 path runs only under
+    interpret mode (tests). See PERF.md "precision lever"."""
     f32 = jnp.float32
     cd = dtype
     G = attrs.shape[0]
@@ -139,17 +142,33 @@ def composite_chunk(
     p_x = px * a0x + py * a1x + a2x           # [G, P]
     p_y = px * a0y + py * a1y + a2y
     p_z = px * a0z + py * a1z + a2z
-    pz_ok = p_z != 0.0
-    inv_pz = jnp.where(pz_ok, 1.0, 0.0) / jnp.where(pz_ok, p_z, 1.0)
-    sx = p_x * inv_pz
-    sy = p_y * inv_pz
+    if cd == f32:
+        pz_ok = p_z != 0.0
+        pzf = lax.stop_gradient(pz_ok.astype(f32))
+        inv_pz = jnp.where(pz_ok, 1.0, 0.0) / jnp.where(pz_ok, p_z, 1.0)
+        sx = p_x * inv_pz
+        sy = p_y * inv_pz
+    else:
+        # bf16: Mosaic cannot lower i1 selects with broadcast operands
+        # (invalid relayout), so predicates become exact {0, 1} float
+        # factors; sx/sy are clamped so the dead branch of the blended
+        # d_raw below stays finite (the clamp cannot touch any pair
+        # that passes the ALPHA_MIN test — those have rho <= ~11)
+        pzf = (p_z != 0.0).astype(cd)
+        inv_pz = pzf / (p_z + (1.0 - pzf))
+        sx = jnp.clip(p_x * inv_pz, -1e4, 1e4)
+        sy = jnp.clip(p_y * inv_pz, -1e4, 1e4)
     rho3d = sx * sx + sy * sy
     dx = cx - px
     dy = cy - py
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
-    use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
-    d_raw = jnp.where(use3d, sx * twx + sy * twy + twz, twz)
+    d3 = sx * twx + sy * twy + twz
+    if cd == f32:
+        d_raw = jnp.where(rho3d <= rho2d, d3, twz)
+    else:
+        u3f = (rho3d <= rho2d).astype(cd)
+        d_raw = u3f * d3 + (1.0 - u3f) * twz
 
     gauss = jnp.exp(-0.5 * rho)
     alpha_raw = op * gauss
@@ -163,9 +182,10 @@ def composite_chunk(
     # the only form Mosaic can lower for bf16 — broadcasting a [G, 1]
     # i1 mask against [G, P] bf16 vectors hits an "invalid relayout"
     # (replicated destination) on this toolchain.
-    contrib_ok = pz_ok & (d_raw >= NEAR_N) & (alpha_raw >= ALPHA_MIN)
     okf = lax.stop_gradient(
-        contrib_ok.astype(cd)
+        pzf.astype(cd)
+        * (d_raw >= NEAR_N).astype(cd)
+        * (alpha_raw >= ALPHA_MIN).astype(cd)
         * pair_valid.astype(cd)
         * (state.done < 0.5).astype(f32).astype(cd)
     )
@@ -251,8 +271,11 @@ def composite_chunk(
         exp_std = jnp.maximum(exp_std, 1e-7)
         err = (mm_tgt - dsg) ** 2
         conf = jnp.exp(-err / (4.0 * exp_std))
-        conf = jnp.where(
-            (t_sg.astype(f32) > 0.5) | (d_pref <= 0.0), 1.0, conf)
+        # select-free blend (exact {0,1} factors; see predicate note)
+        one_f = lax.stop_gradient(jnp.maximum(
+            (t_sg.astype(f32) > 0.5).astype(f32),
+            (d_pref <= 0.0).astype(f32)))
+        conf = one_f + (1.0 - one_f) * conf
         conf = lax.stop_gradient(conf)                    # detached weights
         d_fused = conf * d_raw + (1.0 - conf) * mm_tgt
         dist_add = jnp.zeros_like(state.dist)

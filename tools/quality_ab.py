@@ -94,6 +94,21 @@ VARIANTS = {
     # shipped defaults after compact coarse tracking landed (fresh rows
     # under the new default code path, same config as "default")
     "defaultt": {},
+    # ---- round 4: fullres rows (run with --height 680 --width 1200;
+    # labels kept distinct so they never average with 340x600 rows) ----
+    # fullres shipped defaults (no pyramid)
+    "defaultf": {},
+    # pyramid coarse tracking: 12 iters at stride 4, 12 at stride 2,
+    # remainder full-res — at 680x1200 a stride-2 tile has the same
+    # angular footprint as a full-res 340x600 tile, so the quality-free
+    # result there transfers; the stride-4 level is the new risk this
+    # row gates
+    "pyrf": {"COARSE_LEVELS": "12x4,12x2"},
+    # shallower pyramid (less stride-4 exposure)
+    "pyrf6": {"COARSE_LEVELS": "6x4,16x2"},
+    # round-4 re-measurement of the contaminated r3 "cs3" row (sparser
+    # coarse TRACKING stride at default depth, 340x600)
+    "cs3r4": {"COARSE_STRIDE": "3"},
 }
 
 
