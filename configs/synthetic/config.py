@@ -159,8 +159,13 @@ config = dict(
         # much closer to the observed pair count (~2.05x active, ~419k at
         # the 340x600 steady state vs the 393216-capacity bucket);
         # escalation is the overflow backstop
+        # resolution-aware default: at 680x1200 the frontend map fills
+        # toward tau_l and the measured pair demand overflows the 1.35
+        # budget mid-run (one demand-sized escalation re-trace, minutes
+        # on this host) — start at the level the escalation would reach
         pair_budget_factor_frontend=float(
-            os.environ.get("PAIR_BUDGET_FRONT", 1.35)),
+            os.environ.get("PAIR_BUDGET_FRONT",
+                           1.35 if h * w <= 340 * 600 * 1.5 else 1.75)),
         max_tiles_per_gaussian=4,
         capacity_quantum=1 << 17,
         capacity_margin=1.2,

@@ -21,6 +21,12 @@ from jax import lax
 from .camera import Camera
 from .preprocess import PreprocResult
 
+# The banded gather kernel (ops/gather.py) keeps the whole [N] position
+# array resident in VMEM (4*N bytes; a per-step block would violate TPU
+# block-divisibility) — beyond ~3M rows it exceeds the 16 MB VMEM
+# budget, so huge maps fall back to the XLA row gather.
+GATHER_N_MAX = 3_000_000
+
 
 class TileGrid(NamedTuple):
     tiles_x: int
@@ -55,8 +61,11 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray  # [num_tiles] int32 into the sorted pair array
     tile_stop: jnp.ndarray   # [num_tiles] int32
     num_tiles_touched: int   # static: d_max used for the slab expansion
-    num_pairs: jnp.ndarray   # scalar int32
+    num_pairs: jnp.ndarray   # scalar int32 (clipped to r_max)
     overflow: jnp.ndarray    # scalar bool: pair budget exceeded (tail dropped)
+    demand: jnp.ndarray      # scalar int32: TRUE pair demand (unclipped) —
+                             # overflow escalation sizes the new budget
+                             # from this instead of blind 1.5x steps
     n_shrunk: jnp.ndarray    # scalar int32: gaussians whose rect exceeded
                              # d_max and had their radius shrunk to fit
     counts: jnp.ndarray      # [N] int32 pairs emitted per gaussian
@@ -162,7 +171,7 @@ class Binning(NamedTuple):
         pos = jnp.clip(jnp.cumsum(counts_p) - 1, 0,
                        r_phase - 1).astype(jnp.int32)
         if backend in ("pallas", "interpret") and n % 128 == 0 \
-                and c % 8 == 0:
+                and c % 8 == 0 and n <= GATHER_N_MAX:
             from .gather import monotone_row_gather
 
             acc_t, pos_b = lax.optimization_barrier((acc.T, pos))
@@ -217,7 +226,8 @@ class Binning(NamedTuple):
             s *= 2
         pos = jnp.clip(jnp.cumsum(self.counts) - 1, 0, r - 1).astype(jnp.int32)
         c = acc.shape[1]
-        if backend in ("pallas", "interpret") and n % 128 == 0 and c % 8 == 0:
+        if backend in ("pallas", "interpret") and n % 128 == 0 \
+                and c % 8 == 0 and n <= GATHER_N_MAX:
             from .gather import monotone_row_gather
 
             # the barrier forces the transpose to materialize with the
@@ -479,6 +489,7 @@ def bin_gaussians(
         tile_stop=tile_stop,
         num_tiles_touched=d_max,
         num_pairs=jnp.minimum(total, r_max).astype(jnp.int32),
+        demand=total.astype(jnp.int32),
         overflow=overflow,
         n_shrunk=n_shrunk,
         counts=counts.astype(jnp.int32),

@@ -63,6 +63,7 @@ def _forward(pair_attrs, tile_start, tile_stop, tile_ids, settings):
             tile_start=tile_start, tile_stop=tile_stop,
             num_tiles_touched=1,
             num_pairs=jnp.int32(r),
+            demand=jnp.int32(r),
             overflow=jnp.bool_(False),
             n_shrunk=jnp.int32(0),
             counts=jnp.ones((r,), jnp.int32),

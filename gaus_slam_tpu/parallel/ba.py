@@ -46,7 +46,7 @@ def _ba_loss(params, active, w2c, gt_tiled, cam_proj, opts, lcfg):
     # binning diagnostics ride along so the caller's escalation ladder
     # sees overflow on the sharded path too (rasterizer_impl.cu:283-291
     # analogue)
-    return loss, (bins.overflow, bins.n_shrunk)
+    return loss, (bins.overflow, bins.n_shrunk, bins.demand)
 
 
 @functools.lru_cache(maxsize=16)
@@ -71,19 +71,19 @@ def _build_step(mesh: Mesh, opts: RenderOptions, mcfg, lcfg: LossConfig,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,
     )
     def grad_step(params, active, w2c_shard, gt_shard):
-        (loss, (ov, ns)), grads = jax.value_and_grad(
+        (loss, (ov, ns, dm)), grads = jax.value_and_grad(
             _ba_loss, has_aux=True
         )(params, active, w2c_shard[0], gt_shard[0], cam_proj, opts, lcfg)
         return (jax.tree.map(lambda g: g[None], grads), loss[None],
-                ov[None], ns[None])
+                ov[None], ns[None], dm[None])
 
     @jax.jit
     def step(gm, w2cs, gt_tiled, weights):
-        grads_stacked, losses, ovs, nss = grad_step(
+        grads_stacked, losses, ovs, nss, dms = grad_step(
             gm.params, gm.active, w2cs, gt_tiled)
         wsum = jnp.maximum(jnp.sum(weights), 1e-9)
 
@@ -95,7 +95,8 @@ def _build_step(mesh: Mesh, opts: RenderOptions, mcfg, lcfg: LossConfig,
         loss = jnp.sum(losses * weights) / wsum
         live = weights > 0
         diag = {"overflow": jnp.any(ovs & live),
-                "n_shrunk": jnp.max(jnp.where(live, nss, 0))}
+                "n_shrunk": jnp.max(jnp.where(live, nss, 0)),
+                "demand": jnp.max(jnp.where(live, dms, 0))}
         return G.adam_step(gm, grads, dict(mcfg.lrs), mcfg.betas,
                            mcfg.eps), loss, diag
 

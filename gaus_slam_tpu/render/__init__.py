@@ -347,6 +347,7 @@ class PairCache(NamedTuple):
     num_pairs: jnp.ndarray  # scalar int32 (binning diagnostics)
     overflow: jnp.ndarray   # scalar bool: pair budget exceeded
     n_shrunk: jnp.ndarray   # scalar int32: rects shrunk to fit d_max
+    demand: jnp.ndarray     # scalar int32: true (unclipped) pair demand
 
     # Row views (no relayout: slabs of the [13, R] slab).
     @property
@@ -446,7 +447,7 @@ def bin_for_tracking(
         raw_t=rows.T,  # one relayout; every tracking iter reads rows
         tile_start=bins.tile_start, tile_stop=bins.tile_stop,
         num_pairs=bins.num_pairs, overflow=overflow,
-        n_shrunk=bins.n_shrunk,
+        n_shrunk=bins.n_shrunk, demand=bins.demand,
     )
 
 

@@ -140,7 +140,8 @@ class Backend:
     def _note_diag(self, aux):
         if aux and "overflow" in aux:
             self._map_aux_acc.append(
-                {"overflow": aux["overflow"], "n_shrunk": aux["n_shrunk"]})
+                {"overflow": aux["overflow"], "n_shrunk": aux["n_shrunk"],
+                 "demand": aux.get("demand", 0)})
             if len(self._map_aux_acc) >= 256:  # bound the device-scalar pile
                 self._check_escalation()
 
@@ -153,6 +154,7 @@ class Backend:
             overflow=bool(diag["overflow"]),
             n_shrunk=int(diag["n_shrunk"]),
             n_active=self.map.capacity if self.map is not None else 0,
+            demand=int(diag.get("demand", 0)),
         )
         if new is not None:
             print(f"[gaus] backend pair budget escalation: "
@@ -167,14 +169,20 @@ class Backend:
         """Predicted additional merge-peak growth over the next
         ``capacity_horizon`` merges, from the measured peak history.
         Covering it up front turns per-merge bucket flips (each a full
-        backend re-trace) into O(log)-per-run events."""
+        backend re-trace) into O(log)-per-run events. The jump is
+        CAPPED at 75% of the current need: every per-pair op's cost
+        scales with the capacity bucket (r_max = factor * capacity), so
+        an extrapolation overshoot — early growth is donor-sized and
+        decelerates as scene coverage saturates — would tax the whole
+        rest of the run (an unbounded version measured a 7.7M-row
+        bucket at 680x1200 where the true peak was ~2.2M)."""
         h = self._peak_hist
         if len(h) < 2 or self.capacity_horizon <= 0:
             return 0
         recent = h[-4:]
-        deltas = [max(b - a, 0) for a, b in zip(recent, recent[1:])]
-        g = sum(deltas) // max(len(deltas), 1)
-        return self.capacity_horizon * g
+        deltas = sorted(max(b - a, 0) for a, b in zip(recent, recent[1:]))
+        g = deltas[len(deltas) // 2]  # median: robust to one odd merge
+        return min(self.capacity_horizon * g, (3 * h[-1]) // 4)
 
     def _fit_capacity(self, needed: int | None = None, horizon: int = 0):
         gm = self.map

@@ -255,6 +255,7 @@ class Frontend:
             overflow=bool(diag.get("overflow", False)),
             n_shrunk=int(diag.get("n_shrunk", 0)),
             n_active=self.map.capacity if self.map is not None else 0,
+            demand=int(diag.get("demand", 0)),
         )
         if new is not None:
             print(f"[gaus] pair budget escalation: "
@@ -326,6 +327,7 @@ class Frontend:
             else aux["iters"] + iters_pre
         fetch = {
             "overflow": cache.overflow, "n_shrunk": cache.n_shrunk,
+            "demand": cache.demand,
             "iters": iters_dev, "depth_l1": aux["depth_l1"],
             # final pose matrix rides along: the velocity-model update
             # needs it on the host, and a separate np.asarray(pose.w2c)
@@ -405,7 +407,8 @@ class Frontend:
                 f.mapping_times += self.rebin_every
             ts0 = time.perf_counter()
             self._check_escalation(jax.device_get(
-                {"overflow": aux["overflow"], "n_shrunk": aux["n_shrunk"]}))
+                {"overflow": aux["overflow"], "n_shrunk": aux["n_shrunk"],
+                 "demand": aux.get("demand", 0)}))
             self.t_sync_acc = (getattr(self, "t_sync_acc", 0.0)
                                + time.perf_counter() - ts0)
             dt = time.perf_counter() - t0

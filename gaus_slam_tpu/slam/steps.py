@@ -198,7 +198,9 @@ def fold_diags(diags):
     overflows between reads are never lost (VERDICT r2 weak #3)."""
     ov = jnp.stack([jnp.asarray(d["overflow"]) for d in diags])
     ns = jnp.stack([jnp.asarray(d["n_shrunk"]) for d in diags])
-    return {"overflow": jnp.any(ov), "n_shrunk": jnp.max(ns)}
+    dm = jnp.stack([jnp.asarray(d.get("demand", 0)) for d in diags])
+    return {"overflow": jnp.any(ov), "n_shrunk": jnp.max(ns),
+            "demand": jnp.max(dm)}
 
 
 class MapConfig(NamedTuple):
@@ -302,7 +304,7 @@ def mapping_step(
             sizes > phase_budget(opts, gm.params.xyz.shape[0],
                                  coarse_stride) - 127)
     diag = {"num_pairs": bins.num_pairs, "overflow": overflow,
-            "n_shrunk": bins.n_shrunk}
+            "n_shrunk": bins.n_shrunk, "demand": bins.demand}
     if mcfg.gs_stats:
         # view-space positional gradient stat for clone/split selection
         # (reference add_densification_stats, Gaussians.py:58-62; the
@@ -430,18 +432,20 @@ def mapping_loop(
                 bins=bins, tile_ids=ids, tile_valid=wt, phase=ph,
                 coarse_stride=coarse_stride if phases is not None else 0,
             )
-            return gm2, (aux["overflow"], aux["n_shrunk"], aux["loss"])
+            return gm2, (aux["overflow"], aux["n_shrunk"], aux["loss"],
+                         aux["demand"])
 
         gm_c, diags = lax.scan(one_iter, gm_c,
                                jnp.arange(rebin_every, dtype=jnp.int32))
         return gm_c, diags
 
     k = w2cs.shape[0]
-    gm, (ovs, nss, losses) = lax.scan(
+    gm, (ovs, nss, losses, dms) = lax.scan(
         group, gm, (w2cs, gts, jnp.arange(k, dtype=jnp.int32)))
     return gm, {
         "overflow": jnp.any(ovs),
         "n_shrunk": jnp.max(nss),
+        "demand": jnp.max(dms),
         "loss": losses.reshape(-1)[-1],
     }
 
@@ -499,16 +503,18 @@ def backend_tracking_step(
         out, bins = render_full(moved, gm.active, cam_eye, opts,
                                 need_normal=opts.normals_in_tracking)
         loss, aux = tracking_loss(out, gt_tiled, lcfg, exposure=exp)
-        return loss, (aux, bins.overflow, bins.n_shrunk)
+        return loss, (aux, bins.overflow, bins.n_shrunk, bins.demand)
 
-    (loss, (aux, overflow, n_shrunk)), (g_q, g_t) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True
-    )(pose.quat, pose.trans)
+    (loss, (aux, overflow, n_shrunk, demand)), (g_q, g_t) = \
+        jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(pose.quat, pose.trans)
     pose = pose_adam_step(
         pose, g_q, g_t, tcfg.rot_sched, tcfg.trans_sched, tcfg.betas
     )
     return pose, {"loss": loss, "depth_l1": aux["depth_l1"],
-                  "overflow": overflow, "n_shrunk": n_shrunk}
+                  "overflow": overflow, "n_shrunk": n_shrunk,
+                  "demand": demand}
 
 
 def ba_step(gm, pose, frame_w2c, gt_tiled, exposure, cam_proj, opts, mcfg,

@@ -66,26 +66,38 @@ class SystemConfig:
     DMAX_LADDER = (4, 6, 9, 16)
 
     def maybe_escalate(self, *, overflow: bool, n_shrunk: int,
-                       n_active: int) -> "SystemConfig | None":
+                       n_active: int,
+                       demand: int = 0) -> "SystemConfig | None":
         """Escalated copy of this config, or None if budgets hold.
 
         TPU-native replacement for the reference's dynamic binning-buffer
         resize (rasterizer_impl.cu:283-291): capacities are static per
-        compile, so on pair-budget overflow the budget factor doubles,
+        compile, so on pair-budget overflow the budget factor grows,
         and when a meaningful fraction of gaussians had their tile rect
         shrunk to fit d_max, d_max moves up the ladder. Escalations are
         monotone and bucketed, so at most a handful of recompiles happen
         over a whole run.
+
+        ``demand``: the binning's TRUE (unclipped) pair count when the
+        overflow fired — the new factor is sized to cover it with 15%
+        headroom (rounded up to 1/8 steps so factors stay bucketed)
+        instead of a blind 1.5x, which overshot ~27% at full
+        resolution and taxes every subsequent per-pair op.
         """
         opts = self.opts
         factor = opts.pair_budget_factor
         dmax = opts.max_tiles_per_gaussian
         if overflow and factor < 16:
-            # 1.5x steps: with fractional base factors (1.75 default) a
-            # 2x jump overshoots the transient merge peak badly and the
-            # oversized budget then taxes every per-pair op for the rest
-            # of the run
-            factor = round(factor * 1.5, 3)
+            if demand > 0 and n_active > 0:
+                # size to demand when it exceeds the current budget;
+                # otherwise (e.g. a phase-block overflow whose global
+                # demand fits) take one minimal 1.125x step
+                need = -(-(demand * 1.15 / n_active) * 8 // 1) / 8
+                factor = min(16.0, need if need > factor
+                             else round(factor * 1.125, 3))
+            else:
+                # no demand signal: legacy 1.5x step
+                factor = round(factor * 1.5, 3)
         # radius-shrink only trims the outer sigma of oversized splats;
         # escalate d_max when it stops being a tail phenomenon (>2%)
         if n_shrunk > max(64, 0.02 * max(n_active, 1)):

@@ -241,3 +241,28 @@ def test_frontend_fused_mapping_escalates(monkeypatch):
     f0 = fe.sys.opts.pair_budget_factor
     fe.mapping(frames=[F()])
     assert fe.sys.opts.pair_budget_factor == round(1.5 * f0, 3)
+
+
+def test_demand_driven_escalation_sizes_exactly():
+    """With the binning's true pair demand in the diagnostics, one
+    escalation jumps directly to demand * 1.15 (rounded up to 1/8
+    steps) instead of walking blind 1.5x steps — a fullres overflow at
+    demand/capacity = 1.59 lands on 1.875, not 2.025+."""
+    s = make_sys()
+    f0 = s.opts.pair_budget_factor  # 1.75 (synthetic default)
+    cap = 1_000_000
+    s2 = s.maybe_escalate(overflow=True, n_shrunk=0, n_active=cap,
+                          demand=int(1.59 * cap))
+    assert s2 is not None
+    # 1.59 * 1.15 = 1.8285 -> ceil to 1/8 = 1.875
+    assert s2.opts.pair_budget_factor == 1.875
+    # monotone: a demand BELOW the current budget still escalates at
+    # least one 1.125 step (the overflow was real; phase-block overflows
+    # report with a global demand that fits)
+    s3 = s.maybe_escalate(overflow=True, n_shrunk=0, n_active=cap,
+                          demand=int(0.5 * cap))
+    assert s3 is not None
+    assert s3.opts.pair_budget_factor == round(f0 * 1.125, 3)
+    # no demand signal: legacy 1.5x step
+    s4 = s.maybe_escalate(overflow=True, n_shrunk=0, n_active=cap)
+    assert s4.opts.pair_budget_factor == round(f0 * 1.5, 3)
