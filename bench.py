@@ -238,12 +238,17 @@ def main():
         out["long_window_frame_device_wait_ms"] = round(sync_lg, 1)
 
     if not os.environ.get("BENCH_SKIP_FULLRES_E2E"):
-        # same-resolution end-to-end datum at the reference's 680x1200
-        # (short window: one submap cycle past compile warm-up)
-        # warm must clear the first TWO submap cuts (first-use program
-        # loads), same rule as the main window
-        n_fr = int(os.environ.get("BENCH_FULLRES_FRAMES", 26))
-        warm_fr = int(os.environ.get("BENCH_FULLRES_WARM", 22))
+        # same-resolution end-to-end datum at the reference's 680x1200.
+        # Warm must clear the first TWO submap cuts AND their merges
+        # (cuts land at ~frames 12 and 23 with 10-frame submaps; merge 2
+        # flips the backend capacity bucket — a one-time ~100 s re-trace
+        # on this 1-core host that belongs to compile warm-up, which the
+        # round-3 window at warm=22 accidentally measured). The window
+        # 24..35 still contains the THIRD cut + merge (~frame 34) as
+        # real steady-state work — horizon sizing keeps that merge on
+        # the same bucket, so it pays only genuine SLAM cost.
+        n_fr = int(os.environ.get("BENCH_FULLRES_FRAMES", 36))
+        warm_fr = int(os.environ.get("BENCH_FULLRES_WARM", 24))
         fps_fr, fe_fr, host_fr, sync_fr = run_slam(680, 1200, n_fr, warm_fr)
         out["fullres_680x1200_slam_fps"] = round(fps_fr, 3)
         out["fullres_e2e_vs_baseline"] = round(fps_fr / REF_FPS, 2)
@@ -265,8 +270,11 @@ def main():
         saved = {k: os.environ.get(k) for k in ref_env}
         os.environ.update(ref_env)
         try:
-            n_rs = int(os.environ.get("BENCH_REFSHAPE_FRAMES", 54))
-            warm_rs = int(os.environ.get("BENCH_REFSHAPE_WARM", 44))
+            # first cut+merge at ~frame 45 (submap 40): warm past it
+            # and its program loads; window 48..57 measures tracking +
+            # the merge-1 BA backlog draining at 4 tasks/frame
+            n_rs = int(os.environ.get("BENCH_REFSHAPE_FRAMES", 58))
+            warm_rs = int(os.environ.get("BENCH_REFSHAPE_WARM", 48))
             fps_rs, _, host_rs, sync_rs = run_slam(680, 1200, n_rs,
                                                    warm_rs)
         finally:

@@ -202,6 +202,10 @@ class Backend:
             cap = G.bucket_capacity(n + horizon, self.capacity_quantum,
                                     self.capacity_margin,
                                     self.capacity_floor)
+        if cap != gm.capacity:
+            print(f"[gaus] backend capacity bucket {gm.capacity} -> {cap} "
+                  f"(needed {n}, horizon {horizon}) — backend programs "
+                  f"re-trace at the new shape", flush=True)
         self.map = G.resize_map(gm, cap)
 
     def _tile_gt(self, frame):

@@ -25,7 +25,8 @@ run tests/test_se3.py tests/test_models.py tests/test_loaders.py \
     tests/test_lpips.py tests/test_native_tsdf.py \
     tests/test_mesh_2d_metric.py tests/test_densify_edge.py \
     tests/test_gs_densify.py tests/test_escalation.py \
-    tests/test_gather.py "${@}"
+    tests/test_gather.py tests/test_stage.py tests/test_surgery_wide.py \
+    tests/test_splatam.py "${@}"
 run tests/test_raster_core.py tests/test_raster_grad.py \
     tests/test_3dgs.py tests/test_spec_bin.py "${@}"
 run tests/test_slam_steps.py tests/test_parallel.py \
