@@ -176,8 +176,12 @@ class Backend:
         decelerates as scene coverage saturates — would tax the whole
         rest of the run (an unbounded version measured a 7.7M-row
         bucket at 680x1200 where the true peak was ~2.2M)."""
-        h = self._peak_hist
-        if len(h) < 2 or self.capacity_horizon <= 0:
+        # skip the first entry: it is the first submap's donor count,
+        # not a merge peak — the donor->peak jump is structurally large
+        # and extrapolating it quadrupled the bucket on a flat-growth
+        # scene (measured: peaks 2.35M, 2.25M after a 1.16M first donor)
+        h = self._peak_hist[1:]
+        if len(h) < 3 or self.capacity_horizon <= 0:
             return 0
         recent = h[-4:]
         deltas = sorted(max(b - a, 0) for a, b in zip(recent, recent[1:]))
@@ -194,8 +198,20 @@ class Backend:
         n = needed
         cap = G.bucket_capacity(n, self.capacity_quantum,
                                 self.capacity_margin, self.capacity_floor)
-        if cap < gm.capacity and n > 0.35 * gm.capacity:
-            return
+        if cap < gm.capacity:
+            if n > 0.35 * gm.capacity:
+                return
+            # never shrink below the LAST merge peak: the post-prune
+            # active count dips well under the peak every cycle, and a
+            # shrink here would re-trace now AND again at the next
+            # merge (measured oscillation: 1.7M <-> 4.9M every cycle)
+            if self._peak_hist:
+                floor = G.bucket_capacity(
+                    int(1.05 * self._peak_hist[-1]), self.capacity_quantum,
+                    1.0, self.capacity_floor)
+                cap = max(cap, floor)
+                if cap >= gm.capacity:
+                    return
         if cap > gm.capacity and horizon > 0:
             # this merge flips the bucket anyway — jump to the bucket
             # covering the predicted horizon so the NEXT merges don't
