@@ -176,17 +176,25 @@ class Backend:
         decelerates as scene coverage saturates — would tax the whole
         rest of the run (an unbounded version measured a 7.7M-row
         bucket at 680x1200 where the true peak was ~2.2M)."""
-        # skip the first entry: it is the first submap's donor count,
-        # not a merge peak — the donor->peak jump is structurally large
-        # and extrapolating it quadrupled the bucket on a flat-growth
-        # scene (measured: peaks 2.35M, 2.25M after a 1.16M first donor)
-        h = self._peak_hist[1:]
-        if len(h) < 3 or self.capacity_horizon <= 0:
+        if len(self._peak_hist) < 2 or self.capacity_horizon <= 0:
             return 0
-        recent = h[-4:]
-        deltas = sorted(max(b - a, 0) for a, b in zip(recent, recent[1:]))
-        g = deltas[len(deltas) // 2]  # median: robust to one odd merge
-        return min(self.capacity_horizon * g, (3 * h[-1]) // 4)
+        # merge peaks only: the first entry is the first submap's donor
+        # count, and the donor->peak jump is structurally large —
+        # extrapolating it quadrupled the bucket on a flat-growth scene
+        # (measured: peaks 2.35M, 2.25M after a 1.16M first donor)
+        real = self._peak_hist[1:]
+        if len(real) >= 3:
+            recent = real[-4:]
+            deltas = sorted(max(b - a, 0)
+                            for a, b in zip(recent, recent[1:]))
+            g = deltas[len(deltas) // 2]  # median: robust to one odd merge
+            return min(self.capacity_horizon * g, (3 * real[-1]) // 4)
+        # low-confidence first flip (no real growth data yet): a quarter
+        # of the current need as headroom — enough that steadily-growing
+        # scenes keep the next several merges in-bucket, small enough
+        # that flat-growth scenes aren't taxed by r_max-scaled work
+        d = max(self._peak_hist[-1] - self._peak_hist[-2], 0)
+        return min(d, self._peak_hist[-1] // 4)
 
     def _fit_capacity(self, needed: int | None = None, horizon: int = 0):
         gm = self.map
