@@ -16,9 +16,24 @@ export JAX_PLATFORMS=cpu
 unset PALLAS_AXON_POOL_IPS   # never claim the single-tenant TPU tunnel
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jaxcache}"
 
+SHARDED=""
 run() {
   echo "=== pytest shard: $* ==="
+  for a in "$@"; do case "$a" in tests/test_*.py) SHARDED="$SHARDED $a";; esac; done
   python -m pytest -q "$@"
+}
+
+check_coverage() {
+  # a test file present on disk but absent from every shard would be
+  # silently skipped — fail loudly instead
+  local missing=""
+  for f in tests/test_*.py; do
+    case " $SHARDED " in *" $f "*) ;; *) missing="$missing $f";; esac
+  done
+  if [ -n "$missing" ]; then
+    echo "ERROR: test files not covered by any shard:$missing" >&2
+    exit 1
+  fi
 }
 
 run tests/test_se3.py tests/test_models.py tests/test_loaders.py \
@@ -32,4 +47,5 @@ run tests/test_raster_core.py tests/test_raster_grad.py \
 run tests/test_slam_steps.py tests/test_parallel.py \
     tests/test_exposure_backend.py "${@}"
 run tests/test_full_slam.py "${@}"
+check_coverage
 echo "ALL SHARDS GREEN"
