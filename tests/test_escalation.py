@@ -266,3 +266,47 @@ def test_demand_driven_escalation_sizes_exactly():
     # no demand signal: legacy 1.5x step
     s4 = s.maybe_escalate(overflow=True, n_shrunk=0, n_active=cap)
     assert s4.opts.pair_budget_factor == round(f0 * 1.5, 3)
+
+
+def test_merge_horizon_policy():
+    """Backend._merge_horizon: predictive capacity headroom (pure host).
+
+    TPU-native replacement for the reference's per-frame dynamic buffer
+    resize (rasterizer_impl.cu:283-291) at the MAP level: buckets must
+    flip rarely (each flip re-traces the backend program set), so a
+    merge that flips anyway jumps to the bucket covering the predicted
+    next `capacity_horizon` merges. Policy pinned here:
+      - no data / horizon disabled -> 0;
+      - first flip (donor + one real peak): min(delta, need/4) — the
+        donor->peak delta is structurally large, so the quarter-need
+        cap binds on it, while flat growth pays ~nothing;
+      - >=3 real peaks: horizon * median(recent deltas), capped at 3/4
+        of the current need so extrapolation can't tax the run.
+    """
+    from gaus_slam_tpu.slam.backend import Backend
+
+    class Stub:
+        def __init__(self, hist, horizon=4):
+            self._peak_hist = list(hist)
+            self.capacity_horizon = horizon
+
+    mh = Backend._merge_horizon
+
+    # no history / single entry / horizon disabled
+    assert mh(Stub([])) == 0
+    assert mh(Stub([1_000_000])) == 0
+    assert mh(Stub([100, 200, 300], horizon=0)) == 0
+
+    # first flip: donor jump is large -> quarter-need cap binds
+    assert mh(Stub([1_160_000, 2_350_000])) == 2_350_000 // 4
+    # first flip, flat growth -> no headroom
+    assert mh(Stub([1000, 1000])) == 0
+    # first flip, small real delta below the cap -> the delta itself
+    assert mh(Stub([1000, 1100])) == 100
+
+    # steady growth with >=3 real deltas: horizon * median delta
+    assert mh(Stub([50, 100, 112, 124, 136])) == 4 * 12
+    # 3/4-of-need cap binds under explosive growth
+    assert mh(Stub([50, 100, 200, 400, 800])) == (3 * 800) // 4
+    # declining peaks -> zero (deltas clamp at 0)
+    assert mh(Stub([9999, 2350, 2250, 2200, 2150])) == 0
