@@ -208,11 +208,22 @@ config = dict(
         frontend_capacity=-(-int(h * w * 1.5 * 1.2) // (1 << 17)) * (1 << 17),
         # must cover the MERGE PEAK (steady global map + one full donor
         # submap, before prune compacts), or submap merges flip the
-        # bucket and re-trace the backend program set mid-run. Longer
-        # trajectories need a bigger floor (bench long window sets the
-        # mult via env).
+        # bucket and re-trace the backend program set mid-run (30-90 s
+        # on this host). Sized from trajectory arithmetic: on this scene
+        # the peak grows linearly with processed frames,
+        #   peak(frames) ~ donor0 + g * frames,
+        # with donor0 ~ 1.45*h*w (first submap's donor count; measured
+        # 1.42 at 680x1200) and g measured at both bench shapes
+        # (3.5k gaussians/frame at 340x600, 29k at 680x1200 — an
+        # empirical g ~ 3.8e-5 * (h*w)^1.5 fits both). 5% headroom,
+        # then the capacity quantum. BACKEND_CAP_MULT (legacy env knob,
+        # used by the A/B sweeps) overrides with a flat multiplier;
+        # growth PAST the floor is the merge-horizon policy's job.
         backend_capacity=-(-int(
-            h * w * float(os.environ.get("BACKEND_CAP_MULT", 2.0))
+            h * w * float(os.environ["BACKEND_CAP_MULT"])
+            if os.environ.get("BACKEND_CAP_MULT")
+            else 1.05 * (1.45 * h * w
+                         + 3.8e-5 * (h * w) ** 1.5 * num_frames)
         ) // (1 << 17)) * (1 << 17),
     ),
     viz=dict(viz_w=w, viz_h=h, view_scale=1, mesh_every=5,

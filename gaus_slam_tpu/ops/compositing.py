@@ -271,11 +271,18 @@ def composite_chunk(
         exp_std = jnp.maximum(exp_std, 1e-7)
         err = (mm_tgt - dsg) ** 2
         conf = jnp.exp(-err / (4.0 * exp_std))
-        # select-free blend (exact {0,1} factors; see predicate note)
-        one_f = lax.stop_gradient(jnp.maximum(
-            (t_sg.astype(f32) > 0.5).astype(f32),
-            (d_pref <= 0.0).astype(f32)))
-        conf = one_f + (1.0 - one_f) * conf
+        # forced-1.0 branch: f32 keeps the true select (a where never
+        # propagates a NaN from the dead conf branch — exp_std can go
+        # inf-inf if the detached depth statistics ever blow up); the
+        # select-free float blend exists only because bf16 Mosaic cannot
+        # lower broadcast i1 selects (see predicate note above)
+        if cd == f32:
+            conf = jnp.where((t_sg > 0.5) | (d_pref <= 0.0), 1.0, conf)
+        else:
+            one_f = lax.stop_gradient(jnp.maximum(
+                (t_sg.astype(f32) > 0.5).astype(f32),
+                (d_pref <= 0.0).astype(f32)))
+            conf = one_f + (1.0 - one_f) * conf
         conf = lax.stop_gradient(conf)                    # detached weights
         d_fused = conf * d_raw + (1.0 - conf) * mm_tgt
         dist_add = jnp.zeros_like(state.dist)

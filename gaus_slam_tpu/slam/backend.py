@@ -187,7 +187,12 @@ class Backend:
             recent = real[-4:]
             deltas = sorted(max(b - a, 0)
                             for a, b in zip(recent, recent[1:]))
-            g = deltas[len(deltas) // 2]  # median: robust to one odd merge
+            # true median, robust to one odd merge (even-length lists
+            # average the middle two — deltas[n//2] alone would pick the
+            # MAX of a 2-delta history and bias the first horizon up)
+            mid = len(deltas) // 2
+            g = (deltas[mid] if len(deltas) % 2
+                 else (deltas[mid - 1] + deltas[mid]) // 2)
             return min(self.capacity_horizon * g, (3 * real[-1]) // 4)
         # low-confidence first flip (no real growth data yet): a quarter
         # of the current need as headroom — enough that steadily-growing
@@ -248,13 +253,15 @@ class Backend:
         frame = lm.frames[fid]
         w2c = lm.get_frame_w2c(fid)
         # per-submap exposure: composed with the frame's frozen exposure
-        # inside the step; stepped only after mapping_times > threshold
-        # (Backend.py:121-124)
+        # inside the step; stepped only once mapping_times (counted
+        # AFTER this call, like the reference's increment-then-check at
+        # Backend.py:121-124) exceeds the threshold — first exposure
+        # step lands on mapping call exposure_start + 1
         live_exp = self.enable_exposure and lm.exposure is not None
         exp = lm.exposure if live_exp else self.exposure
         fexp = (jnp.asarray(lm.frame_exp(fid)) if live_exp else None)
         do_exp = jnp.bool_(live_exp
-                           and lm.mapping_times > self.exposure_start)
+                           and lm.mapping_times + 1 > self.exposure_start)
         gm, exp_out, aux = mapping_step(
             self.map, w2c, self._tile_gt(frame), exp,
             do_exp, s.exp_sched_back, s.cam, s.opts, s.mcfg, s.lcfg,

@@ -112,6 +112,12 @@ def save_run_state(path: str, frontend, backend,
         "tracking_flag": bool(frontend.tracking_flag),
         "totalpts_rec": [int(x) for x in backend.totalpts_rec]
         if backend is not None else [],
+        # merge-peak history: feeds _merge_horizon AND the never-shrink-
+        # below-last-peak floor in _fit_capacity — without it the first
+        # post-restore prune could shrink the bucket below the last merge
+        # peak and re-trigger the re-trace oscillation (advisor r4)
+        "peak_hist": [int(x) for x in getattr(backend, "_peak_hist", [])]
+        if backend is not None else [],
         "ape_rec": [float(x) for x in getattr(backend, "ape_rec", [])]
         if backend is not None else [],
         "localmaps": lms,
@@ -176,6 +182,9 @@ def restore_run_state(path: str, frontend, backend, dataset) -> int:
         backend.n_active_host = int(backend.map.n_active)
         backend.totalpts_rec = list(meta["totalpts_rec"])
         backend.ape_rec = list(meta["ape_rec"])
+        # .get: checkpoints written before peak_hist existed restore with
+        # an empty history (the horizon just re-learns growth)
+        backend._peak_hist = [int(x) for x in meta.get("peak_hist", [])]
         for i, lmm in enumerate(meta["localmaps"]):
             saved_idxs = [int(x) for x in lmm.get("saved_idxs", [])]
             frames = []

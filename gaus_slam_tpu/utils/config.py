@@ -128,6 +128,36 @@ class SystemConfig:
         if method not in ("2dgs", "3dgs"):
             raise ValueError(f"unknown render method {method!r}")
         tpu = config.get("tpu", {})
+        # fail at config time with an actionable message, not deep
+        # inside kernel compilation / a jit trace (advisor r4):
+        # v5e Mosaic cannot lower bf16 VPU comparisons, so the bf16
+        # compute path only exists under interpret mode (PERF.md
+        # "precision lever").
+        compute_dtype = str(tpu.get("compute_dtype", "f32"))
+        if compute_dtype == "bf16" and backend == "pallas":
+            raise ValueError(
+                "tpu.compute_dtype='bf16' cannot compile on the pallas "
+                "backend (v5e Mosaic rejects bf16 comparisons); use "
+                "backend='interpret' for the bf16 experiment path or "
+                "keep compute_dtype='f32'")
+        # pyramid coarse tracking: multiple levels need the NESTED
+        # phase order, which exists for coarsest stride 2 or 4 only
+        # (ops/binning.phase_positions) with each level dividing the
+        # previous — otherwise the assert fires mid-trace
+        lvl_strides = [int(s) for _, s in
+                       (config["frontend"].get("coarse_levels") or ())
+                       if int(s) > 1]
+        if len(lvl_strides) > 1:
+            if lvl_strides[0] not in (2, 4):
+                raise ValueError(
+                    f"frontend.coarse_levels coarsest stride "
+                    f"{lvl_strides[0]} unsupported: the nested "
+                    f"phase-major cache exists for strides 2 and 4")
+            for a, b in zip(lvl_strides, lvl_strides[1:]):
+                if a % b != 0:
+                    raise ValueError(
+                        f"frontend.coarse_levels strides {lvl_strides} "
+                        f"must nest (each divides the previous)")
         # per-component pair budgets: r_max = factor * CAPACITY bucket.
         # The backend's active count approaches its capacity at merge
         # peaks, but the frontend's stays well below its floor (bounded
@@ -146,7 +176,7 @@ class SystemConfig:
             normals_in_tracking=bool(
                 config["loss"].get("use_normal_loss", False)),
             method=method,
-            compute_dtype=str(tpu.get("compute_dtype", "f32")),
+            compute_dtype=compute_dtype,
             iso3d=config["gaussians"].get(
                 "gaussian_distribution", "anisotropic") == "isotropic",
         )

@@ -310,3 +310,44 @@ def test_merge_horizon_policy():
     assert mh(Stub([50, 100, 200, 400, 800])) == (3 * 800) // 4
     # declining peaks -> zero (deltas clamp at 0)
     assert mh(Stub([9999, 2350, 2250, 2200, 2150])) == 0
+
+
+def test_config_validation_rejects_unlowerable_knobs():
+    """Config-time rejection with actionable messages (advisor r4):
+    bf16 cannot compile on the pallas backend (v5e Mosaic), and the
+    pyramid cache's nested phase order exists for coarsest stride 2/4
+    with nesting levels only — both previously died deep inside a
+    kernel compile / jit trace."""
+    import pytest
+
+    def cfg():
+        c = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                     "configs", "synthetic", "config.py"))
+        c["cameras"]["height"] = 48
+        c["cameras"]["width"] = 64
+        c["cameras"]["intrinsics"] = [[40.0, 0, 32], [0, 40.0, 24],
+                                      [0, 0, 1]]
+        return c
+
+    c = cfg()
+    c["tpu"]["compute_dtype"] = "bf16"
+    with pytest.raises(ValueError, match="bf16"):
+        SystemConfig.from_config(c, backend="pallas")
+    # interpret mode is the sanctioned bf16 path
+    s = SystemConfig.from_config(c, backend="interpret")
+    assert s.opts.compute_dtype == "bf16"
+
+    c = cfg()
+    c["frontend"]["coarse_levels"] = [(6, 8), (10, 2)]  # coarsest 8
+    with pytest.raises(ValueError, match="stride"):
+        SystemConfig.from_config(c, backend="interpret")
+
+    c = cfg()
+    c["frontend"]["coarse_levels"] = [(6, 4), (10, 3)]  # 3 !| 4
+    with pytest.raises(ValueError, match="nest"):
+        SystemConfig.from_config(c, backend="interpret")
+
+    c = cfg()
+    c["frontend"]["coarse_levels"] = [(6, 4), (10, 2)]  # valid pyramid
+    s = SystemConfig.from_config(c, backend="interpret")
+    assert s.track_front.levels() == ((6, 4), (10, 2))

@@ -153,6 +153,22 @@ def test_backend_exposure_gate_and_tracking():
     assert int(lm.exposure.step) == 1
 
 
+@pytest.mark.slow
+def test_backend_exposure_gate_boundary():
+    """The first exposure step lands on mapping call exposure_start + 1,
+    matching the reference's increment-then-check (Backend.py:121-124
+    increments mapping_times BEFORE testing > 120)."""
+    K = 2
+    be, lm, *_ = _setup(exposure_start=K, num_ba_iters=0)
+    for call in range(1, K + 2):
+        be.mapping(0)
+        if call <= K:
+            assert int(lm.exposure.step) == 0, (call, int(lm.exposure.step))
+        else:
+            assert int(lm.exposure.step) == 1, (call, int(lm.exposure.step))
+    assert lm.mapping_times == K + 1
+
+
 def test_frame_exposure_composition():
     """Composed exposure matches get_frame_exposure (Frame.py:250-257):
     A = lm_g * f_g, B = lm_g * f_b + lm_b."""

@@ -114,6 +114,15 @@ def test_full_slam_synthetic(tmp_path):
     be.mapping(0)
     assert lm0.mapping_times == mt0 + 1
 
+    # the merge-peak history round-trips (advisor r4): without it the
+    # first post-restore prune could shrink the capacity bucket below
+    # the last merge peak and re-enter the re-trace oscillation
+    import json as _json
+
+    meta = _json.loads((tmp_path / "ckpt" / "meta.json").read_text())
+    assert meta.get("peak_hist"), "checkpoint lost the merge-peak history"
+    assert be._peak_hist == [int(x) for x in meta["peak_hist"]]
+
 
 @pytest.mark.slow
 def test_gaus_mp_checkpoint_resume(tmp_path):
