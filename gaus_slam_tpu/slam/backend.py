@@ -232,6 +232,10 @@ class Backend:
                                     self.capacity_margin,
                                     self.capacity_floor)
         if cap != gm.capacity:
+            # host-visible flip counter: every flip re-traces the whole
+            # backend program set (30-90 s on a slow host), so the bench
+            # asserts none land inside a measured window
+            self.bucket_flips = getattr(self, "bucket_flips", 0) + 1
             print(f"[gaus] backend capacity bucket {gm.capacity} -> {cap} "
                   f"(needed {n}, horizon {horizon}) — backend programs "
                   f"re-trace at the new shape", flush=True)
