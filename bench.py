@@ -9,7 +9,7 @@ gets a valid result, and a timeout preserves every finished stage —
 the round-4 all-or-nothing print lost a full run's numbers to rc 124).
 
 Stages, most-important-first, each gated by a wall-clock budget
-(``BENCH_BUDGET_S``, default 2100 s — set it to the harness timeout
+(``BENCH_BUDGET_S``, default 2700 s — set it to the harness timeout
 minus a save margin):
 
   1. short window   340x600, frames 22..34   (the headline metric)
@@ -211,7 +211,7 @@ def main():
     import jax
 
     t0 = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET_S", 2100))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2700))
     out = {}
 
     def emit():
@@ -274,7 +274,7 @@ def main():
     # bucket flip should land inside it.
     if os.environ.get("BENCH_SKIP_FULLRES_E2E"):
         out["fullres_680x1200_slam_fps"] = "skipped (env)"
-    elif left() < est("FULLRES", 900):
+    elif left() < est("FULLRES", 850):
         out["fullres_680x1200_slam_fps"] = "skipped (budget)"
     else:
         n_fr = int(os.environ.get("BENCH_FULLRES_FRAMES", 36))
@@ -292,7 +292,7 @@ def main():
     # ---- stage 3: pure-kernel Mpix/s at the reference resolution -----
     if os.environ.get("BENCH_SKIP_FULLRES"):
         out["fullres_fwd_mpix_s"] = "skipped (env)"
-    elif left() < est("KERNEL", 240):
+    elif left() < est("KERNEL", 150):
         out["fullres_fwd_mpix_s"] = "skipped (budget)"
     else:
         out.update(fullres_kernel_stats())
@@ -306,7 +306,7 @@ def main():
     # arithmetic, so no re-trace storm lands inside the window.
     if os.environ.get("BENCH_SKIP_LONG"):
         out["long_window_slam_fps"] = "skipped (env)"
-    elif left() < est("LONG", 480):
+    elif left() < est("LONG", 450):
         out["long_window_slam_fps"] = "skipped (budget)"
     else:
         n_lg = int(os.environ.get("BENCH_LONG_FRAMES", 66))

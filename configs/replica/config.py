@@ -161,6 +161,10 @@ config = dict(
         # validated); set 1 for the exact reference schedule.
         mapping_rebin_every=2,
         coarse_map_stride=2,
+        # backend map on a second device when more than one is attached
+        # ("off" | "auto" | index) — the reference's two-process
+        # concurrency (scripts/gaus_mp.py:97-114, two full map copies)
+        backend_device=os.environ.get("BACKEND_DEVICE", "off"),
     ),
     viz=dict(viz_w=600, viz_h=340, view_scale=2, mesh_every=5,
              gen_animation=False, video_freq=30,

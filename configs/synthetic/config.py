@@ -18,6 +18,9 @@ num_ba_iters = int(os.environ.get("SYN_BA_ITERS", 20))
 # expensive events in a run; the reference's Replica profile uses 40
 # (configs/replica/config.py:28) — the A/B sweeps this shape knob
 localmap_max_frames = int(os.environ.get("SYN_MAX_FRAMES", 10))
+# resolution interpolant for the backend-capacity trajectory arithmetic
+# below: 0 at the 340x600 bench shape, 1 at 680x1200
+_res = min(max((h * w - 204_000) / (816_000 - 204_000), 0.0), 1.0)
 
 config = dict(
     vis_base_dir=os.environ.get("SYN_OUT", f"output/synthetic_seed{seed}"),
@@ -150,6 +153,12 @@ config = dict(
         # attached device (parallel/ba.py) when more than one exists;
         # an int pins the device count; "off" forces single-device
         mesh_devices=os.environ.get("MESH_DEVICES", "auto"),
+        # backend map on a SECOND device, overlapping the frontend's
+        # (the reference's two-process / two-map-copy concurrency —
+        # scripts/gaus_mp.py:97-114): "off" | "auto" (device 1 when >1
+        # attached) | explicit index. Exclusive with a multi-device
+        # BA mesh.
+        backend_device=os.environ.get("BACKEND_DEVICE", "off"),
         # kernel elementwise compute dtype: "f32" (default) | "bf16"
         # (experiment knob — measured ~1.05x on the v5e VPU, PERF.md)
         compute_dtype=os.environ.get("COMPUTE_DTYPE", "f32"),
@@ -209,21 +218,26 @@ config = dict(
         # must cover the MERGE PEAK (steady global map + one full donor
         # submap, before prune compacts), or submap merges flip the
         # bucket and re-trace the backend program set mid-run (30-90 s
-        # on this host). Sized from trajectory arithmetic: on this scene
-        # the peak grows linearly with processed frames,
-        #   peak(frames) ~ donor0 + g * frames,
-        # with donor0 ~ 1.45*h*w (first submap's donor count; measured
-        # 1.42 at 680x1200) and g measured at both bench shapes
-        # (3.5k gaussians/frame at 340x600, 29k at 680x1200 — an
-        # empirical g ~ 3.8e-5 * (h*w)^1.5 fits both). 5% headroom,
-        # then the capacity quantum. BACKEND_CAP_MULT (legacy env knob,
-        # used by the A/B sweeps) overrides with a flat multiplier;
-        # growth PAST the floor is the merge-horizon policy's job.
+        # on this host). Sized from trajectory arithmetic:
+        #   peak(frames) ~ min(donor0 + g * frames, saturation),
+        # with measured anchors at the two bench shapes (round 5, on
+        # the chip): 340x600 peak 561k at 66 frames (~5.7k/frame after
+        # a ~0.95*h*w first donor); 680x1200 peak 2.35M by frame 23
+        # (~1.42*h*w donor, ~42k/frame) saturating near 2.9-3.1*h*w as
+        # scene coverage completes; donor0/g interpolate in h*w between
+        # the anchors. A bucket flip triggers at n*capacity_margin >
+        # floor, so the floor covers peak * 1.2 (margin) * 1.05
+        # (headroom — peaks drift a few % run-to-run with the pair
+        # budget). BACKEND_CAP_MULT (legacy env knob, used by the A/B
+        # sweeps) overrides with a flat multiplier; growth PAST the
+        # floor is the merge-horizon policy's job.
         backend_capacity=-(-int(
             h * w * float(os.environ["BACKEND_CAP_MULT"])
             if os.environ.get("BACKEND_CAP_MULT")
-            else 1.05 * (1.45 * h * w
-                         + 3.8e-5 * (h * w) ** 1.5 * num_frames)
+            else 1.26 * min(
+                (1.00 + 0.45 * _res) * h * w
+                + (0.028 + 0.024 * _res) * h * w * num_frames,
+                3.1 * h * w)
         ) // (1 << 17)) * (1 << 17),
     ),
     viz=dict(viz_w=w, viz_h=h, view_scale=1, mesh_every=5,

@@ -57,6 +57,33 @@ class Backend:
         self.mesh = mesh
         self.ba_group = (int(np.prod(mesh.devices.shape))
                          if mesh is not None else 1)
+        # backend on a SECOND device (the reference's real concurrency:
+        # its backend process owns a separate full map copy on the GPU
+        # and overlaps the frontend completely — scripts/gaus_mp.py:
+        # 97-114, README.md:108). With tpu.backend_device set, the
+        # global map lives on that device; every backend step dispatches
+        # there asynchronously and computes WHILE the frontend's next
+        # tracking program runs on device 0 — the submap handoff is one
+        # device-to-device transfer (_to_dev). Mutually exclusive with a
+        # multi-device BA mesh (which replicates the map mesh-wide).
+        self.device = None
+        bd = str(config.get("tpu", {}).get("backend_device", "off"))
+        if bd not in ("off", ""):
+            devs = jax.devices()
+            if self.ba_group > 1:
+                print("[gaus] tpu.backend_device ignored: the multi-"
+                      "device BA mesh owns device placement")
+            else:
+                idx = 1 if bd == "auto" else int(bd)
+                if bd == "auto" and len(devs) < 2:
+                    pass  # single chip: silently stay colocated
+                elif idx >= len(devs):
+                    print(f"[gaus] tpu.backend_device={bd} ignored: only "
+                          f"{len(devs)} device(s) attached")
+                else:
+                    self.device = devs[idx]
+                    print(f"[gaus] backend map placed on {self.device} "
+                          f"(frontend stays on {devs[0]})")
         self.rng = random.Random(config.get("seed", 0) + 1)
         be = config["backend"]
         # the reference's live Open3D viewers (Backend.py:43-46,250-268)
@@ -242,10 +269,16 @@ class Backend:
         self.map = G.resize_map(gm, cap)
 
     def _tile_gt(self, frame):
-        if getattr(frame, "gt_tiled", None) is None:
-            frame.gt_tiled = frame_to_tiles(
+        gt = getattr(frame, "gt_tiled", None)
+        if gt is None:
+            gt = frame_to_tiles(
                 frame.gt_color, frame.gt_depth, self.sys.opts.grid)
-        return frame.gt_tiled
+        if self.device is not None and self.device not in gt.devices():
+            # frontend-cached tiles live on device 0; jit rejects
+            # mixed-committed inputs, so hand them over once
+            gt = jax.device_put(gt, self.device)
+        frame.gt_tiled = gt
+        return gt
 
     # ------------------------------------------------------------------
     def mapping(self, lm_idx: int):
@@ -533,6 +566,13 @@ class Backend:
         self.cur_lmid += 1
         params, active, n_active = lm.map_params
         lm.map_params = None
+        if self.device is not None:
+            # the submap handoff: one device-to-device transfer of the
+            # donor snapshot (the analogue of the reference's deepcopy
+            # through the mp.Queue into the backend process); everything
+            # downstream — rigid transfer, merge, BA — runs on the
+            # backend device, overlapping the frontend's device
+            params, active = jax.device_put((params, active), self.device)
         # donor count: host mirror from the cut when available (reading
         # the device scalar here would drain the whole device queue)
         n_donor = (lm.n_active_host if lm.n_active_host is not None

@@ -204,3 +204,79 @@ def test_mesh_from_config_knob():
     config["cameras"]["intrinsics"] = np.eye(3).tolist()
     be = Backend(config, backend="interpret", mesh=m4)
     assert be.ba_group == 4
+
+
+def test_backend_on_second_device(tmp_path):
+    """tpu.backend_device places the global map on a second device: the
+    reference's two-process concurrency (its backend owns a separate
+    full map copy and overlaps the frontend completely —
+    scripts/gaus_mp.py:97-114, README.md:108). Asserts the map and every
+    step's outputs actually live on device 1 while the frontend's stay
+    on device 0, across merges, covis BA, re-use of frontend-cached gt
+    tiles, and the final drain."""
+    import os
+    import queue
+
+    os.environ["SYN_H"] = "48"
+    os.environ["SYN_W"] = "64"
+    os.environ["SYN_FRAMES"] = "10"
+    os.environ["SYN_MAX_FRAMES"] = "4"
+    from gaus_slam_tpu.data import get_dataset
+    from gaus_slam_tpu.slam.backend import Backend
+    from gaus_slam_tpu.slam.frontend import Frontend
+    from gaus_slam_tpu.utils.config import load_config, probe_cameras
+
+    config = load_config(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "synthetic",
+        "config.py"))
+    config["vis_base_dir"] = str(tmp_path)
+    config["tpu"]["backend_device"] = "1"
+    config["backend"]["random_process"] = False
+    config["backend"]["num_ba_iters"] = 6
+    config["densify"]["scale_max"] = 1.0
+    dataset = get_dataset(config["data"])
+    color0, _, intrinsics, _ = dataset[0]
+    probe_cameras(config, color0, intrinsics)
+
+    dev0, dev1 = jax.devices()[0], jax.devices()[1]
+    to_backend = queue.Queue()
+    fe = Frontend(config, to_backend, backend="interpret")
+    be = Backend(config, backend="interpret")
+    assert be.device == dev1
+
+    for t in range(10):
+        color, depth, _, c2w = dataset[t]
+        depth = np.asarray(depth)
+        if depth.ndim == 3:
+            depth = depth[..., 0]
+        # commit the frame to device 0 like the staged drivers do
+        color_d = jax.device_put(
+            jnp.asarray(np.asarray(color, np.float32) / 255.0), dev0)
+        fe.process_frame(t, color_d, jnp.asarray(depth), c2w)
+        while not to_backend.empty():
+            be.process_localmap(to_backend.get(), multi_process=True)
+        for _ in range(4):
+            if be.task_queue.empty():
+                break
+            be.process()
+    fe.process_final()
+    while not to_backend.empty():
+        be.process_localmap(to_backend.get(), multi_process=True)
+    while not be.task_queue.empty():
+        be.process()
+
+    assert len(be.local_maps) >= 2, "need >= 2 submaps to test the merge"
+    assert be.map.params.xyz.devices() == {dev1}
+    assert fe.map.params.xyz.devices() == {dev0}
+    # submap transforms were optimized on the backend device
+    assert be.local_maps[0].transform.quat.devices() == {dev1}
+    assert np.isfinite(np.asarray(be.map.params.xyz)).all()
+    assert int(be.map.n_active) > 0
+
+    # exclusivity: a multi-device mesh owns placement
+    config["tpu"]["mesh_devices"] = 8
+    from gaus_slam_tpu.parallel import mesh_from_config
+
+    be2 = Backend(config, backend="interpret",
+                  mesh=mesh_from_config(config))
+    assert be2.device is None
