@@ -46,6 +46,15 @@ class RenderOptions(NamedTuple):
     # capacity (the frontend) run lower factors — see
     # SystemConfig.from_config(component=...).
     pair_budget_factor: float = 2
+    # demand-keyed pair budget: when > 0 this EXPLICIT row count replaces
+    # factor * capacity as r_max. The backend's capacity bucket is sized
+    # for the merge PEAK (steady map + one full donor, pre-prune), but a
+    # single keyframe's true pair demand tracks what the camera SEES —
+    # measured 2.2-2.9x smaller at the fullres bench shape — and every
+    # per-pair op (expansion gather, kernel padding, vjp reduction sort)
+    # scales with r_max. Escalation (SystemConfig.maybe_escalate) raises
+    # it demand-sized on overflow, exactly like the capacity floors.
+    pair_cap: int = 0
     max_tiles_per_gaussian: int = 16
     normals_in_tracking: bool = False  # loss.use_normal_loss
     method: str = "2dgs"          # "2dgs" surfels | "3dgs" volumetric
@@ -66,6 +75,8 @@ class RenderOptions(NamedTuple):
         )
 
     def r_max(self, n: int) -> int:
+        if self.pair_cap > 0:
+            return -(-int(self.pair_cap) // 128) * 128
         return -(-int(self.pair_budget_factor * n) // 128) * 128
 
 
@@ -455,12 +466,20 @@ def render_tracking(
     cache: PairCache, pose_quat, pose_trans, cam_proj: Camera,
     opts: RenderOptions, tile_ids: jnp.ndarray | None = None,
     pair_hi: int | None = None,
+    pre_w2c: jnp.ndarray | None = None,
 ):
     """Tracking-mode render: pair-cached map moved by the live pose.
 
     Gradient path matches Renderer_tracking (render/__init__.py:30-39):
     means through the live w2c; rotated quaternions detached; map
     parameters constants (the cache is already detached).
+
+    ``pre_w2c``: optional fixed [4, 4] composed LEFT of the live pose —
+    the effective camera becomes ``pre_w2c @ pose_matrix(quat, trans)``.
+    Backend tracking optimizes the SUBMAP transform under a fixed
+    frame-in-submap pose (Backend.py:81-99): frame_w2c rides here while
+    (quat, trans) stays the live submap transform; the pose gradient
+    flows through the composed means exactly like the frame case.
 
     ``tile_ids`` renders only that subset of image tiles (coarse
     tracking); the output is [len(tile_ids), OUT_C, P].
@@ -494,6 +513,13 @@ def render_tracking(
         )
     w2c = pose_matrix(pose_quat, pose_trans)
     q = quat_normalize(pose_quat)
+    if pre_w2c is not None:
+        from ..ops.se3 import rotmat_to_quat
+
+        w2c = pre_w2c @ w2c
+        # full rotation for the (detached) quat rotation: q_pre ∘ q
+        q = quat_multiply(rotmat_to_quat(pre_w2c[:3, :3])[None, :],
+                          q[None, :])[0]
     cam_eye = cam_proj.replace_w2c(jnp.eye(4, dtype=jnp.float32))
     if opts.method == "3dgs":
         xyz_cam = cache.xyz_t.T @ w2c[:3, :3].T + w2c[:3, 3]

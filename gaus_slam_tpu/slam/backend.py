@@ -131,9 +131,16 @@ class Backend:
         self._peak_hist: list[int] = []  # merge-peak history (host)
         # coarse mapping for the fused mapping batches (rotating
         # checkerboard tile subsets — see steps.mapping_loop). Separate
-        # knob from the frontend's: the backend refines against the
-        # GLOBAL map, so its quality cost is gated by its own A/B row
-        # (tools/quality_ab.py "cmapb3"). 1 = dense (reference-exact).
+        # knob from the frontend's, and applied ONLY to mapping tasks
+        # enqueued AFTER the merge's prune (plus idle refinement): the
+        # r3 A/B measured all-coarse backend mapping catastrophic
+        # (PSNR 16) because merged gaussians enter opacity-capped at
+        # logit(0.01) (Backend.py:226) and must re-opacify through
+        # PRE-prune mapping coverage before the prune task reaps them —
+        # at 1/9 tiles per task most of a merged submap was never
+        # rendered in time. Post-prune tasks have no such race; their
+        # own A/B row ("cmapb3pp") gates the knob. 1 = dense
+        # (reference-exact everywhere).
         self.coarse_map_stride = int(config.get("tpu", {}).get(
             "backend_coarse_map_stride", 1))
         # running phase offset: 4-task batches are shorter than the
@@ -177,6 +184,14 @@ class Backend:
             return
         diag = jax.device_get(fold_diags(self._map_aux_acc))
         self._map_aux_acc = []
+        import os as _os
+        if _os.environ.get("GAUS_DEMAND"):
+            # peak true pair demand across the accumulated steps vs the
+            # static budget — sizes tpu.backend_pair_cap from measurement
+            print(f"[prof] backend pair demand={int(diag.get('demand', 0))}"
+                  f" r_max={self.sys.opts.r_max(self.map.capacity if self.map is not None else 0)}"
+                  f" cap={self.map.capacity if self.map is not None else 0}",
+                  flush=True)
         new = self.sys.maybe_escalate(
             overflow=bool(diag["overflow"]),
             n_shrunk=int(diag["n_shrunk"]),
@@ -186,7 +201,8 @@ class Backend:
         if new is not None:
             print(f"[gaus] backend pair budget escalation: "
                   f"factor {self.sys.opts.pair_budget_factor}->"
-                  f"{new.opts.pair_budget_factor}, d_max "
+                  f"{new.opts.pair_budget_factor}, pair_cap "
+                  f"{self.sys.opts.pair_cap}->{new.opts.pair_cap}, d_max "
                   f"{self.sys.opts.max_tiles_per_gaussian}->"
                   f"{new.opts.max_tiles_per_gaussian}")
             self.sys = new
@@ -347,10 +363,16 @@ class Backend:
     # compiles; partial batches fall back to per-step mapping)
     MAP_BATCH = 4
 
-    def mapping_batch(self, lm_idxs: list[int]):
+    def mapping_batch(self, lm_idxs: list[int], coarse: bool = False):
         """len(lm_idxs) mapping tasks as one mapping_loop dispatch —
         same schedule (each task re-bins against the current map), a
-        fraction of the host dispatch cost."""
+        fraction of the host dispatch cost.
+
+        ``coarse``: render each task on the rotating checkerboard subset
+        (1/stride^2 tiles; see coarse_map_stride above) — valid only for
+        post-prune tasks, where the merge-opacity-cap/prune race cannot
+        bite."""
+        stride = self.coarse_map_stride if coarse else 1
         s = self.sys
         w2cs, gts, touched = [], [], []
         for i in lm_idxs:
@@ -374,10 +396,13 @@ class Backend:
         gm, aux = mapping_loop(self.map, jnp.stack(w2cs), jnp.stack(gts),
                                s.cam, s.opts, s.mcfg, s.lcfg,
                                rebin_every=1,
-                               coarse_stride=self.coarse_map_stride,
+                               coarse_stride=stride,
                                phase0=self._map_phase)
-        self._map_phase = (self._map_phase + len(w2cs)) % max(
-            self.coarse_map_stride * self.coarse_map_stride, 1)
+        if stride > 1:
+            # coverage carries across batches (4-task batches are
+            # shorter than the stride^2 phase rotation)
+            self._map_phase = (self._map_phase + len(w2cs)) % (
+                stride * stride)
         self.map = gm
         for lm in touched:
             lm.mapping_times += 1
@@ -502,6 +527,14 @@ class Backend:
                 # the fused/sharded batch paths can't step per-submap
                 # exposure (or per-step densify stats) -> sequential path
                 fuse_ok = not self.gs_densify and not self.enable_exposure
+                coarse = bool(cmd[2]) if len(cmd) > 2 else False
+
+                def _same_coarse():
+                    head = self.task_queue.queue[0]
+                    return (head[0] == "mapping"
+                            and (bool(head[2]) if len(head) > 2
+                                 else False) == coarse)
+
                 if self.ba_group > 1 and fuse_ok:
                     # batch consecutive mapping tasks onto the mesh
                     idxs = [cmd[1]]
@@ -512,15 +545,16 @@ class Backend:
                     self.mapping_group(idxs)
                 elif fuse_ok:
                     # single chip: fuse up to MAP_BATCH consecutive
-                    # mapping tasks into one dispatched program (only
-                    # full batches, so exactly one extra shape bucket)
+                    # mapping tasks (of the same coarse class) into one
+                    # dispatched program (only full batches, so exactly
+                    # one extra shape bucket per class)
                     idxs = [cmd[1]]
                     while (len(idxs) < self.MAP_BATCH
                            and self.task_queue.qsize() > 0
-                           and self.task_queue.queue[0][0] == "mapping"):
+                           and _same_coarse()):
                         idxs.append(self.task_queue.get()[1])
                     if len(idxs) == self.MAP_BATCH:
-                        self.mapping_batch(idxs)
+                        self.mapping_batch(idxs, coarse=coarse)
                     else:
                         for i in idxs:
                             self.mapping(i)
@@ -528,8 +562,10 @@ class Backend:
                     self.mapping(cmd[1])
         elif self.enable_random and len(self.local_maps) > 0:
             self._check_escalation()  # idle: fold in the last diagnostics
+            # idle refinement is steady-state work (post-prune): coarse ok
             self.task_queue.put(
-                ("mapping", self.rng.choice(range(len(self.local_maps))))
+                ("mapping", self.rng.choice(range(len(self.local_maps))),
+                 True)
             )
         if prof:
             dt = time.perf_counter() - _t0
@@ -603,8 +639,10 @@ class Backend:
             gm = G.empty_map(cap)
             self.map = G.add_params(gm, params, active)
             self.n_active_host = n_donor
+            # the first submap's donors enter at FULL opacity (no cap,
+            # no prune scheduled) — coarse is race-free here
             for _ in range(self.num_ba_iters):
-                self.task_queue.put(("mapping", 0))
+                self.task_queue.put(("mapping", 0, True))
         else:
             # transfer stays ON DEVICE: np.asarray here would block on
             # every queued device op before the merge can even dispatch
@@ -628,14 +666,18 @@ class Backend:
             )
             _mark("covis")
             near = self.covis_idxs[: max(self.num_covis // 2, 1)]
+            # pre-prune mapping stays DENSE (coarse_ok=False): these
+            # tasks must re-opacify the opacity-capped merge donors
+            # before the prune task reaps them (see coarse_map_stride)
             for _ in range(self.num_ba_iters):
-                self.task_queue.put(("mapping", self.rng.choice(near)))
+                self.task_queue.put(
+                    ("mapping", self.rng.choice(near), False))
             self.task_queue.put(("prune", None))
             for _ in range(self.num_ba_iters // 2):
                 self.task_queue.put(("tracking", self.cur_lmid))
             for _ in range(self.num_ba_iters):
                 self.task_queue.put(
-                    ("mapping", self.rng.choice(self.covis_idxs)))
+                    ("mapping", self.rng.choice(self.covis_idxs), True))
             for _ in range(self.num_ba_iters):
                 self.task_queue.put(
                     ("tracking", self.rng.choice(self.covis_idxs)))

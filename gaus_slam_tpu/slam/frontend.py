@@ -251,6 +251,11 @@ class Frontend:
     def _check_escalation(self, diag: dict):
         """Bump pair budgets when the binning diagnostics say the static
         capacities clipped (see SystemConfig.maybe_escalate)."""
+        if os.environ.get("GAUS_DEMAND"):
+            print(f"[prof] frontend pair demand="
+                  f"{int(diag.get('demand', 0))} r_max="
+                  f"{self.sys.opts.r_max(self.map.capacity if self.map is not None else 0)}",
+                  flush=True)
         new = self.sys.maybe_escalate(
             overflow=bool(diag.get("overflow", False)),
             n_shrunk=int(diag.get("n_shrunk", 0)),
@@ -260,7 +265,8 @@ class Frontend:
         if new is not None:
             print(f"[gaus] pair budget escalation: "
                   f"factor {self.sys.opts.pair_budget_factor}->"
-                  f"{new.opts.pair_budget_factor}, d_max "
+                  f"{new.opts.pair_budget_factor}, pair_cap "
+                  f"{self.sys.opts.pair_cap}->{new.opts.pair_cap}, d_max "
                   f"{self.sys.opts.max_tiles_per_gaussian}->"
                   f"{new.opts.max_tiles_per_gaussian}")
             self.sys = new

@@ -475,14 +475,24 @@ def backend_tracking_step(
     through the means (render/__init__.py:30-39). Re-binned per step
     (the effective pose moves between steps).
 
+    Computed through the PAIR-CACHE path (bin at the current effective
+    pose, then render_tracking with ``pre_w2c=frame_w2c``): the pose
+    gradient then reduces directly over pairs — through the pose-move
+    matmul's vjp — instead of the segmented pair->gaussian reduction
+    (sort + gather over r_max rows) the render_full path pays before
+    collapsing d_xyz to 7 pose numbers. Same binning (moving points vs
+    moving the camera bins identically — the frontend tracking
+    equivalence), same detached-quat gradient; only f32 summation order
+    differs (pinned by tests/test_slam_steps.py backend-tracking
+    equivalence oracle). Measured 1.9x per task at the fullres backend
+    shape (tools/backend_probe.py).
+
     ``exposure``/``frame_exp``: the composed fixed exposure of
     Backend.tracking (Backend.py:86-92) — applied to the rendered color,
     detached (only the transform is stepped here, matching the
     reference, which never steps the exposure optimizer in tracking)."""
-    from ..ops.se3 import pose_matrix, quat_multiply, rotmat_to_quat
+    from ..render import bin_for_tracking, render_tracking
 
-    params = jax.tree.map(lax.stop_gradient, gm.params)
-    cam_eye = cam_proj.replace_w2c(jnp.eye(4, dtype=jnp.float32))
     exp = None
     if exposure is not None and lcfg.enable_exposure:
         fe = (frame_exp if frame_exp is not None
@@ -491,30 +501,24 @@ def backend_tracking_step(
             gain=exposure.gain * fe[0],
             bias=exposure.gain * fe[1] + exposure.bias))
 
-    def loss_fn(quat, trans):
-        w2c = frame_w2c @ pose_matrix(quat, trans)
-        q_full = rotmat_to_quat(w2c[:3, :3])
-        moved = params._replace(
-            xyz=params.xyz @ w2c[:3, :3].T + w2c[:3, 3],
-            quats=lax.stop_gradient(
-                quat_multiply(q_full[None, :], params.quats)
-            ),
-        )
-        out, bins = render_full(moved, gm.active, cam_eye, opts,
-                                need_normal=opts.normals_in_tracking)
-        loss, aux = tracking_loss(out, gt_tiled, lcfg, exposure=exp)
-        return loss, (aux, bins.overflow, bins.n_shrunk, bins.demand)
+    eff0 = frame_w2c @ pose.w2c
+    cache = bin_for_tracking(gm, cam_proj.replace_w2c(eff0), opts)
 
-    (loss, (aux, overflow, n_shrunk, demand)), (g_q, g_t) = \
-        jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(pose.quat, pose.trans)
+    def loss_fn(quat, trans):
+        out = render_tracking(cache, quat, trans, cam_proj, opts,
+                              pre_w2c=frame_w2c)
+        loss, aux = tracking_loss(out, gt_tiled, lcfg, exposure=exp)
+        return loss, aux
+
+    (loss, aux), (g_q, g_t) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(pose.quat, pose.trans)
     pose = pose_adam_step(
         pose, g_q, g_t, tcfg.rot_sched, tcfg.trans_sched, tcfg.betas
     )
     return pose, {"loss": loss, "depth_l1": aux["depth_l1"],
-                  "overflow": overflow, "n_shrunk": n_shrunk,
-                  "demand": demand}
+                  "overflow": cache.overflow, "n_shrunk": cache.n_shrunk,
+                  "demand": cache.demand}
 
 
 def ba_step(gm, pose, frame_w2c, gt_tiled, exposure, cam_proj, opts, mcfg,

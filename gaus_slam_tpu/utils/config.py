@@ -86,8 +86,17 @@ class SystemConfig:
         """
         opts = self.opts
         factor = opts.pair_budget_factor
+        pair_cap = opts.pair_cap
         dmax = opts.max_tiles_per_gaussian
-        if overflow and factor < 16:
+        if overflow and pair_cap > 0:
+            # demand-keyed budget: raise the explicit row cap (quantized
+            # so the program set stays bounded); demand sizes the jump in
+            # ONE re-trace, the same pattern as the capacity floors
+            q = 1 << 17
+            need = int(demand * 1.15) if demand > pair_cap \
+                else int(pair_cap * 1.25)
+            pair_cap = max(-(-need // q) * q, pair_cap + q)
+        elif overflow and factor < 16:
             if demand > 0 and n_active > 0:
                 # size to demand when it exceeds the current budget;
                 # otherwise (e.g. a phase-block overflow whose global
@@ -105,12 +114,14 @@ class SystemConfig:
                 if step > dmax:
                     dmax = step
                     break
-        if (factor, dmax) == (opts.pair_budget_factor,
-                              opts.max_tiles_per_gaussian):
+        if (factor, pair_cap, dmax) == (opts.pair_budget_factor,
+                                        opts.pair_cap,
+                                        opts.max_tiles_per_gaussian):
             return None
         return dataclasses.replace(
             self,
             opts=opts._replace(pair_budget_factor=factor,
+                               pair_cap=pair_cap,
                                max_tiles_per_gaussian=dmax),
         )
 
@@ -166,11 +177,14 @@ class SystemConfig:
         # per-pair elementwise work scales with r_max. Escalation
         # (maybe_escalate) is the overflow backstop for both.
         factor = float(tpu.get("pair_budget_factor", 2))
+        pair_cap = int(tpu.get("backend_pair_cap", 0))
         if component == "frontend":
             factor = float(tpu.get("pair_budget_factor_frontend", factor))
+            pair_cap = int(tpu.get("frontend_pair_cap", 0))
         opts = RenderOptions(
             grid=grid, use_sa=bool(r.get("use_sa", True)), backend=backend,
             pair_budget_factor=factor,
+            pair_cap=pair_cap,
             max_tiles_per_gaussian=int(config.get("tpu", {}).get(
                 "max_tiles_per_gaussian", 4)),
             normals_in_tracking=bool(

@@ -45,7 +45,7 @@ run tests/test_se3.py tests/test_models.py tests/test_loaders.py \
 run tests/test_raster_core.py tests/test_raster_grad.py \
     tests/test_3dgs.py tests/test_spec_bin.py "${@}"
 run tests/test_slam_steps.py tests/test_parallel.py \
-    tests/test_exposure_backend.py "${@}"
+    tests/test_exposure_backend.py tests/test_backend_coarse.py "${@}"
 run tests/test_full_slam.py "${@}"
 check_coverage
 echo "ALL SHARDS GREEN"

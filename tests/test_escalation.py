@@ -351,3 +351,48 @@ def test_config_validation_rejects_unlowerable_knobs():
     c["frontend"]["coarse_levels"] = [(6, 4), (10, 2)]  # valid pyramid
     s = SystemConfig.from_config(c, backend="interpret")
     assert s.track_front.levels() == ((6, 4), (10, 2))
+
+
+def test_pair_cap_overrides_and_escalates_demand_sized():
+    """Demand-keyed pair budget (tpu.backend_pair_cap): an explicit row
+    cap replaces factor*capacity as r_max — the backend's capacity
+    bucket is sized for the merge peak, but per-keyframe pair demand
+    tracks what the camera sees (2-3x smaller at the fullres bench
+    shape) and every per-pair op scales with r_max. Escalation raises
+    the cap demand-sized in one re-trace."""
+    import dataclasses
+    s = make_sys()
+    s = dataclasses.replace(s, opts=s.opts._replace(pair_cap=1 << 18))
+    # the explicit cap wins regardless of capacity
+    assert s.opts.r_max(10_000_000) == 1 << 18
+    assert s.opts.r_max(1000) == 1 << 18
+    # overflow with a demand signal: cap jumps to quantized demand*1.15
+    demand = 900_000
+    s2 = s.maybe_escalate(overflow=True, n_shrunk=0, n_active=4_000_000,
+                          demand=demand)
+    assert s2 is not None
+    q = 1 << 17
+    expect = -(-int(demand * 1.15) // q) * q
+    assert s2.opts.pair_cap == expect
+    assert s2.opts.r_max(4_000_000) == expect
+    # factor untouched (the cap owns sizing while set)
+    assert s2.opts.pair_budget_factor == s.opts.pair_budget_factor
+    # overflow with no demand signal: one bounded 1.25x (quantized) step
+    s3 = s.maybe_escalate(overflow=True, n_shrunk=0, n_active=4_000_000)
+    assert s3 is not None and s3.opts.pair_cap > s.opts.pair_cap
+    # monotone: always at least one quantum up
+    assert s3.opts.pair_cap >= s.opts.pair_cap + q
+
+
+def test_pair_cap_config_plumbing():
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "synthetic", "config.py"))
+    cfg["cameras"]["height"] = 48
+    cfg["cameras"]["width"] = 64
+    cfg["cameras"]["intrinsics"] = [[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]]
+    cfg["tpu"]["backend_pair_cap"] = 1 << 18
+    sb = SystemConfig.from_config(cfg, backend="interpret")
+    sf = SystemConfig.from_config(cfg, backend="interpret",
+                                  component="frontend")
+    assert sb.opts.pair_cap == 1 << 18
+    assert sf.opts.pair_cap == 0  # frontend keyed separately

@@ -616,3 +616,71 @@ def test_tracking_pyramid_compact_matches_full(scene, mapped):
     t_err0 = float(jnp.linalg.norm(w2c0[:3, 3] - w2c1[:3, 3]))
     t_err = float(jnp.linalg.norm(pose_c.w2c[:3, 3] - w2c1[:3, 3]))
     assert t_err < 0.6 * t_err0, (t_err0, t_err)
+
+
+def test_backend_tracking_cached_matches_dense_oracle(scene, mapped):
+    """backend_tracking_step now computes through the pair-cache path
+    (pose gradient reduced over pairs via the pose-move matmul vjp)
+    instead of rendering moved params through render_full (pose gradient
+    through the segmented pair->gaussian reduction). The two are the
+    same math in a different summation order; this oracle recomputes
+    the old dense path inline and pins the stepped pose to it."""
+    import jax
+
+    from gaus_slam_tpu.models.frame import pose_adam_step
+    from gaus_slam_tpu.ops.se3 import quat_multiply, rotmat_to_quat
+    from gaus_slam_tpu.render import render_full
+    from gaus_slam_tpu.slam.loss import tracking_loss
+    from gaus_slam_tpu.slam.steps import backend_tracking_step
+
+    ds, cam, grid, opts, lcfg, frames = scene
+    gm, _ = mapped
+    color1, depth1, w2c1 = frames[1]
+    gt = gt_tiles(color1, depth1, grid)
+    # submap transform starts slightly off identity; the frame pose is
+    # fixed (frame-in-submap)
+    frame_w2c = frames[0][2]
+    t0 = np.eye(4, dtype=np.float32)
+    t0[:3, 3] = (0.02, -0.01, 0.015)
+    pose0 = init_pose(t0)
+    tcfg = TrackConfig(
+        num_iters=1, converged_th=-1.0,
+        rot_sched=LrSchedule(8e-4, 8e-5, 60),
+        trans_sched=LrSchedule(4e-3, 4e-4, 60),
+    )
+
+    pose_new, diag = backend_tracking_step(
+        gm, pose0, frame_w2c, gt, cam, opts, tcfg, lcfg)
+
+    # dense oracle: the pre-round-5 computation
+    params = jax.tree.map(jax.lax.stop_gradient, gm.params)
+    cam_eye = cam.replace_w2c(jnp.eye(4, dtype=jnp.float32))
+
+    def loss_fn(quat, trans):
+        from gaus_slam_tpu.ops.se3 import pose_matrix
+
+        w2c = frame_w2c @ pose_matrix(quat, trans)
+        q_full = rotmat_to_quat(w2c[:3, :3])
+        moved = params._replace(
+            xyz=params.xyz @ w2c[:3, :3].T + w2c[:3, 3],
+            quats=jax.lax.stop_gradient(
+                quat_multiply(q_full[None, :], params.quats)),
+        )
+        out, _ = render_full(moved, gm.active, cam_eye, opts,
+                             need_normal=opts.normals_in_tracking)
+        loss, aux = tracking_loss(out, gt, lcfg)
+        return loss, aux
+
+    (loss_o, aux_o), (g_q, g_t) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(pose0.quat, pose0.trans)
+    pose_o = pose_adam_step(pose0, g_q, g_t, tcfg.rot_sched,
+                            tcfg.trans_sched, tcfg.betas)
+
+    np.testing.assert_allclose(np.asarray(pose_new.trans),
+                               np.asarray(pose_o.trans),
+                               rtol=2e-3, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pose_new.quat),
+                               np.asarray(pose_o.quat),
+                               rtol=2e-3, atol=2e-6)
+    np.testing.assert_allclose(float(diag["loss"]), float(loss_o),
+                               rtol=1e-4)

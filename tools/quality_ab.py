@@ -109,6 +109,13 @@ VARIANTS = {
     # round-4 re-measurement of the contaminated r3 "cs3" row (sparser
     # coarse TRACKING stride at default depth, 340x600)
     "cs3r4": {"COARSE_STRIDE": "3"},
+    # ---- round 5 ----
+    # POST-PRUNE backend coarse mapping: the all-coarse "cmapb3" row was
+    # catastrophic (PSNR 16) because pre-prune coarse coverage starved
+    # the merged donors' re-opacification before the prune task reaped
+    # them; the knob now applies only to post-prune/idle mapping tasks
+    # (slam/backend.py coarse_map_stride) — this row gates that
+    "cmapb3pp": {"BACKEND_COARSE_MAP_STRIDE": "3"},
 }
 
 
