@@ -187,7 +187,18 @@ def run_slam(h, w, n_frames, warm):
     _td0 = time.perf_counter()
     while not backend_.task_queue.empty():
         backend_.process()
-    jax.block_until_ready(frontend.map.params.xyz)
+    # Charge the window with the DEVICE COMPLETION of every task it
+    # dispatched, not just the dispatch: process() is async, and
+    # block_until_ready on a frontend array neither waits for backend
+    # work nor syncs through this tunnel — the pre-round-5 bench let
+    # the backlog's device tail escape the measurement (the reference
+    # runs both processes on ONE shared GPU, README.md:108-109, so its
+    # 0.56 FPS absorbs backend contention; ours must too). The t==warm
+    # pre-drain fences the start boundary the same way.
+    from gaus_slam_tpu.utils.fence import probe_fence
+    probe_fence(frontend.map.params.xyz)
+    if backend_.map is not None:
+        probe_fence(backend_.map.params.xyz)
     if os.environ.get("BENCH_VERBOSE"):
         print(f"[bench] final drain: {time.perf_counter()-_td0:.2f}s",
               file=sys.stderr, flush=True)

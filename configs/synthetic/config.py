@@ -198,11 +198,19 @@ config = dict(
         # accumulation grouping moves (A/B row "ctrack0" reverts).
         compact_coarse_track=bool(
             int(os.environ.get("COMPACT_TRACK", 1))),
-        # same rotating-checkerboard schedule for the backend's fused
-        # 4-task mapping batches (global-map refinement); gated by its
-        # own A/B row ("cmapb3") — 1 = dense reference-exact batches
+        # rotating-checkerboard schedule for the backend's fused 4-task
+        # mapping batches. Applies to POST-prune tasks (+ first submap
+        # + idle refinement) only — the all-coarse r3 row ("cmapb3")
+        # was catastrophic via the merge-opacity-cap/prune coverage
+        # race; the post-prune-only knob is gated by "cmapb3pp".
+        # 1 = dense reference-exact batches.
         backend_coarse_map_stride=int(
             os.environ.get("BACKEND_COARSE_MAP_STRIDE", 1)),
+        # optional coarse stride for the PRE-prune block too (donor
+        # re-opacification coverage: stride 2 = 5 full covers per
+        # 20-task block); gated by "cmapb2pre". 1 = dense.
+        backend_coarse_pre_stride=int(
+            os.environ.get("BACKEND_COARSE_PRE_STRIDE", 1)),
         # keyframe-coverage view fused into the tracking program (same
         # staleness assumption as tracking's pair cache); 0 = fresh
         # full-binned render_view per keyframe test (reference-exact)

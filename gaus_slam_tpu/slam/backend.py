@@ -143,9 +143,19 @@ class Backend:
         # (reference-exact everywhere).
         self.coarse_map_stride = int(config.get("tpu", {}).get(
             "backend_coarse_map_stride", 1))
-        # running phase offset: 4-task batches are shorter than the
-        # stride^2 phase rotation, so coverage must carry across batches
+        # optional coarse stride for the PRE-prune mapping block too
+        # (donor re-opacification coverage drops from 20 dense renders
+        # to 20/stride^2 full covers — the exact mechanism that made
+        # all-coarse catastrophic at stride 3; stride 2 still covers
+        # every tile 5x in a 20-task block and is gated by its own A/B
+        # row "cmapb2pre"). 1 = dense (shipped default).
+        self.coarse_pre_stride = int(config.get("tpu", {}).get(
+            "backend_coarse_pre_stride", 1))
+        # running phase offsets per class: 4-task batches are shorter
+        # than the stride^2 phase rotation, so coverage must carry
+        # across batches (pre and post strides rotate independently)
         self._map_phase = 0
+        self._map_phase_pre = 0
 
         self.map: G.GaussianMap | None = None
         # host mirror of map.n_active: merges add donor counts to it and
@@ -369,10 +379,11 @@ class Backend:
         fraction of the host dispatch cost.
 
         ``coarse``: render each task on the rotating checkerboard subset
-        (1/stride^2 tiles; see coarse_map_stride above) — valid only for
-        post-prune tasks, where the merge-opacity-cap/prune race cannot
-        bite."""
-        stride = self.coarse_map_stride if coarse else 1
+        (1/stride^2 tiles; see coarse_map_stride above) — the post-prune
+        task class, where the merge-opacity-cap/prune race cannot bite.
+        Pre-prune batches use ``coarse_pre_stride`` (default 1 = dense),
+        with an independent phase rotation."""
+        stride = self.coarse_map_stride if coarse else self.coarse_pre_stride
         s = self.sys
         w2cs, gts, touched = [], [], []
         for i in lm_idxs:
@@ -393,16 +404,20 @@ class Backend:
             for i in lm_idxs:
                 self.mapping(i)
             return {}
+        phase0 = self._map_phase if coarse else self._map_phase_pre
         gm, aux = mapping_loop(self.map, jnp.stack(w2cs), jnp.stack(gts),
                                s.cam, s.opts, s.mcfg, s.lcfg,
                                rebin_every=1,
                                coarse_stride=stride,
-                               phase0=self._map_phase)
+                               phase0=phase0)
         if stride > 1:
             # coverage carries across batches (4-task batches are
             # shorter than the stride^2 phase rotation)
-            self._map_phase = (self._map_phase + len(w2cs)) % (
-                stride * stride)
+            nxt = (phase0 + len(w2cs)) % (stride * stride)
+            if coarse:
+                self._map_phase = nxt
+            else:
+                self._map_phase_pre = nxt
         self.map = gm
         for lm in touched:
             lm.mapping_times += 1

@@ -131,3 +131,35 @@ def test_legacy_two_tuple_mapping_task_is_dense(monkeypatch):
     while not be.task_queue.empty():
         be.process()
     assert calls == [(4, False)]
+
+
+def test_pre_stride_rotates_independently(monkeypatch):
+    """backend_coarse_pre_stride drives the PRE-prune (dense-class)
+    batches with its own phase counter; the post-prune counter is
+    untouched."""
+    from gaus_slam_tpu.slam.backend import Backend
+    from gaus_slam_tpu.utils.config import load_config
+
+    os.environ["SYN_H"] = "48"
+    os.environ["SYN_W"] = "64"
+    config = load_config(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "configs", "synthetic", "config.py"))
+    config["tpu"]["backend_coarse_map_stride"] = 3
+    config["tpu"]["backend_coarse_pre_stride"] = 2
+    config["backend"]["random_process"] = False
+    config["cameras"]["height"] = 48
+    config["cameras"]["width"] = 64
+    config["cameras"]["intrinsics"] = [[40.0, 0, 32], [0, 40.0, 24],
+                                       [0, 0, 1]]
+    be = Backend(config, backend="interpret")
+    be.process_localmap(_submap(0), multi_process=True)
+    while not be.task_queue.empty():
+        be.process()
+    p_post0, p_pre0 = be._map_phase, be._map_phase_pre
+    for _ in range(4):
+        be.task_queue.put(("mapping", 0, False))   # pre-prune class
+    while not be.task_queue.empty():
+        be.process()
+    assert be._map_phase_pre == (p_pre0 + 4) % 4
+    assert be._map_phase == p_post0  # post counter untouched

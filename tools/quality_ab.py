@@ -116,6 +116,11 @@ VARIANTS = {
     # them; the knob now applies only to post-prune/idle mapping tasks
     # (slam/backend.py coarse_map_stride) — this row gates that
     "cmapb3pp": {"BACKEND_COARSE_MAP_STRIDE": "3"},
+    # ... plus the PRE-prune block at stride 2 (5 full covers per
+    # 20-task re-opacification block — the aggressive end of the
+    # backend-coarse package)
+    "cmapb2pre": {"BACKEND_COARSE_MAP_STRIDE": "3",
+                  "BACKEND_COARSE_PRE_STRIDE": "2"},
 }
 
 
