@@ -42,10 +42,14 @@ config = dict(
         # reference Replica profile disables the early exit (-1);
         # the synthetic default keeps it (quality-validated)
         converged_th=float(os.environ.get("SYN_CONV_TH", 5e-4)),
-        # coarse-to-fine tracking: first iterations render a stride-2
-        # tile checkerboard (1/4 the kernel work) from the same pair cache
+        # coarse-to-fine tracking: first iterations render a strided
+        # tile checkerboard (1/stride^2 the kernel work) from the same
+        # pair cache. Stride 3 adopted round 5: the clean cs3r4 rows
+        # measured it BETTER than 2 at 340x600 (39.09+-0.44 vs
+        # 38.64+-0.56, artifacts/quality_ab_r5.jsonl); the fullres
+        # anchor row "cs2f" gates the flip at 680x1200.
         coarse_iters=int(os.environ.get("COARSE_ITERS", 18)),
-        coarse_stride=int(os.environ.get("COARSE_STRIDE", 2)),
+        coarse_stride=int(os.environ.get("COARSE_STRIDE", 3)),
         # pyramid coarse schedule "i1xs1,i2xs2" (e.g. "10x4,14x2"):
         # multiple nested coarse levels from one phase-major cache;
         # supersedes coarse_iters/coarse_stride when set

@@ -121,6 +121,10 @@ VARIANTS = {
     # backend-coarse package)
     "cmapb2pre": {"BACKEND_COARSE_MAP_STRIDE": "3",
                   "BACKEND_COARSE_PRE_STRIDE": "2"},
+    # fullres anchor at the pre-round-5 conservative tracking stride
+    # (COARSE_STRIDE default flipped to 3 after the clean cs3r4 rows;
+    # this gates the flip AT FULLRES against the old default)
+    "cs2f": {"COARSE_STRIDE": "2"},
 }
 
 
