@@ -238,6 +238,27 @@ def main():
     def est(key, default):
         return float(os.environ.get(f"BENCH_EST_{key}", default))
 
+    if os.environ.get("BENCH_ONLY_REFSHAPE"):
+        # standalone refshape datum (manual capture — PERF.md records
+        # it with methodology; the driver's default run skips stage 5)
+        ref_env = {"SYN_MAX_FRAMES": "40", "SYN_MAP_ITERS": "40",
+                   "SYN_BA_ITERS": "60", "SYN_TAU_K": "0.01",
+                   "SYN_CONV_TH": "-1"}
+        os.environ.update(ref_env)
+        n_rs = int(os.environ.get("BENCH_REFSHAPE_FRAMES", 53))
+        warm_rs = int(os.environ.get("BENCH_REFSHAPE_WARM", 48))
+        fps_rs, _, host_rs, sync_rs, flips_rs = run_slam(
+            680, 1200, n_rs, warm_rs)
+        print(json.dumps({
+            "fullres_refshape_fps": round(fps_rs, 3),
+            "fullres_refshape_vs_baseline": round(fps_rs / REF_FPS, 2),
+            "fullres_refshape_frame_host_ms": round(host_rs, 1),
+            "fullres_refshape_frame_device_wait_ms": round(sync_rs, 1),
+            "fullres_refshape_bucket_flips_in_window": flips_rs,
+            "refshape_frames_measured": n_rs - warm_rs,
+        }))
+        return
+
     if os.environ.get("BENCH_ONLY_LONG"):
         n_lg = int(os.environ.get("BENCH_LONG_FRAMES", 66))
         warm_lg = int(os.environ.get("BENCH_LONG_WARM", 22))

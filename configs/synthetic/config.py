@@ -233,8 +233,11 @@ config = dict(
         # on this host). Sized from trajectory arithmetic:
         #   peak(frames) ~ min(donor0 + g * frames, saturation),
         # with measured anchors at the two bench shapes (round 5, on
-        # the chip): 340x600 peak 561k at 66 frames (~5.7k/frame after
-        # a ~0.95*h*w first donor); 680x1200 peak 2.35M by frame 23
+        # the chip, at the SHIPPED defaults — coarse stride 3 + the
+        # escalated pair factor densify ~25% more than the r4 anchors
+        # did): 340x600 merge peak 511k at 34 frames (~9.4k/frame =
+        # 0.046*h*w after a ~1.0*h*w first donor; the r4 anchor was
+        # 561k@66f pre-stride-3); 680x1200 peak 2.35M by frame 23
         # (~1.42*h*w donor, ~42k/frame) saturating near 2.9-3.1*h*w as
         # scene coverage completes; donor0/g interpolate in h*w between
         # the anchors. A bucket flip triggers at n*capacity_margin >
@@ -248,7 +251,7 @@ config = dict(
             if os.environ.get("BACKEND_CAP_MULT")
             else 1.26 * min(
                 (1.00 + 0.45 * _res) * h * w
-                + (0.028 + 0.024 * _res) * h * w * num_frames,
+                + (0.046 + 0.006 * _res) * h * w * num_frames,
                 3.1 * h * w)
         ) // (1 << 17)) * (1 << 17),
     ),
